@@ -1,0 +1,202 @@
+"""Particle–particle collision pass — TPU equivalents of the collision loop
+in ``compute_update`` (/root/reference/src/shaders/compute.wgsl:142-170).
+
+Reference pair math, per live pair ``(i, j)``, reading const prev-substep
+state:
+
+- coincident particles (``dist == 0``): ``p.y += sign(i − j)``
+  (compute.wgsl:151-153)
+- overlap (``dist < 2r``): elastic impulse along the normal with
+  coefficient ``(elasticity+1)/2``, tangential friction clamped to
+  ``±impulse_normal·friction`` (155-162), and penetration resolved through
+  acceleration: ``a −= clip_shift / dt²`` (164-168).
+
+Because the reference reads only const per-pair state, the loop is a pure
+sum over partners — exactly vectorizable.  Two broad phases are provided:
+
+- ``allpairs``: the reference's O(N²), tiled with ``lax.scan`` over
+  partner blocks so memory stays O(N·tile).  Correctness oracle and
+  small-scene path.
+- ``grid``: spatial-hash broad phase (counting-sort into fixed-capacity
+  cell buckets, 3×3 neighborhood gather) with identical pair math —
+  the scalable TPU path (required by BASELINE configs 3-5).
+
+WGSL ``clamp(e, lo, hi)`` is ``min(max(e, lo), hi)`` even when ``lo > hi``
+(negative ``impulse_normal``); we reproduce that exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PhysicsConstants, StaticConfig
+
+
+def collision_terms(
+    pos: jax.Array,
+    vel: jax.Array,
+    alive: jax.Array,
+    consts: PhysicsConstants,
+    cfg: StaticConfig,
+):
+    """Dispatch on ``cfg.collision_mode``.
+
+    Returns ``(dv [N,2], da [N,2], dy [N])`` — velocity impulse sum,
+    acceleration (penetration) sum, and coincident-shift sum for ``p.y``.
+    """
+    if cfg.collision_mode == "none":
+        z2 = jnp.zeros_like(pos)
+        return z2, z2, jnp.zeros(pos.shape[:1], pos.dtype)
+    if cfg.collision_mode == "allpairs":
+        return _allpairs(pos, vel, alive, consts, cfg)
+    if cfg.collision_mode == "grid":
+        return _grid(pos, vel, alive, consts, cfg)
+    raise ValueError(cfg.collision_mode)
+
+
+def _pair_terms(
+    p_i, v_i, p_j, v_j, valid, consts: PhysicsConstants, cfg: StaticConfig, idx_i, idx_j
+):
+    """Vectorized compute.wgsl:150-168 for a batch of candidate pairs.
+
+    Shapes: ``p_i/v_i [..., 2]`` broadcast against ``p_j/v_j [..., K, 2]``;
+    ``valid [..., K]`` masks partners.  Returns per-pair (dv, da, dy)
+    *contributions* (not yet summed over K).
+    """
+    r = jnp.float32(cfg.particle_radius)
+    dt = jnp.float32(cfg.dt)
+    d = p_j - p_i[..., None, :]
+    dist = jnp.sqrt(jnp.sum(d * d, axis=-1))
+
+    coincident = valid & (dist == 0.0)
+    overlap = valid & (dist > 0.0) & (dist < 2.0 * r)
+
+    # compute.wgsl:151-153 — deterministic nudge by index order.
+    dy = jnp.where(
+        coincident,
+        jnp.sign(idx_i[..., None].astype(jnp.float32) - idx_j.astype(jnp.float32)),
+        0.0,
+    )
+
+    safe_dist = jnp.where(overlap, dist, 1.0)
+    normal = d / safe_dist[..., None]
+    tangent = jnp.stack([-normal[..., 1], normal[..., 0]], axis=-1)
+    rel_v = v_i[..., None, :] - v_j
+    ecoeff = (consts.elasticity + 1.0) * 0.5
+    imp_n = ecoeff * jnp.sum(rel_v * normal, axis=-1)
+    max_fric = imp_n * consts.friction
+    # WGSL clamp = min(max(x, lo), hi) — NOT symmetric when lo > hi.
+    imp_t = jnp.minimum(jnp.maximum(jnp.sum(rel_v * tangent, axis=-1), -max_fric), max_fric)
+
+    dv = -(imp_n[..., None] * normal + imp_t[..., None] * tangent)
+    clip_shift = normal * ((2.0 * r - dist) * 0.5)[..., None]
+    da = -clip_shift / (dt * dt)
+
+    ov = overlap[..., None]
+    return jnp.where(ov, dv, 0.0), jnp.where(ov, da, 0.0), dy
+
+
+def _allpairs(pos, vel, alive, consts, cfg):
+    n = pos.shape[0]
+    tile = min(cfg.collision_tile, n)
+    num_tiles = -(-n // tile)
+    pad = num_tiles * tile - n
+    pos_p = jnp.pad(pos, ((0, pad), (0, 0)))
+    vel_p = jnp.pad(vel, ((0, pad), (0, 0)))
+    alive_p = jnp.pad(alive, (0, pad))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    idx_p = jnp.arange(num_tiles * tile, dtype=jnp.int32)
+
+    def body(carry, tile_idx):
+        dv, da, dy = carry
+        sl = tile_idx * tile
+        p_j = jax.lax.dynamic_slice_in_dim(pos_p, sl, tile)
+        v_j = jax.lax.dynamic_slice_in_dim(vel_p, sl, tile)
+        a_j = jax.lax.dynamic_slice_in_dim(alive_p, sl, tile)
+        j_idx = jax.lax.dynamic_slice_in_dim(idx_p, sl, tile)
+        valid = (
+            alive[:, None]
+            & a_j[None, :]
+            & (idx[:, None] != j_idx[None, :])
+        )
+        pdv, pda, pdy = _pair_terms(
+            pos, vel,
+            jnp.broadcast_to(p_j[None], (n, tile, 2)),
+            jnp.broadcast_to(v_j[None], (n, tile, 2)),
+            valid, consts, cfg, idx,
+            jnp.broadcast_to(j_idx[None], (n, tile)),
+        )
+        return (dv + pdv.sum(1), da + pda.sum(1), dy + pdy.sum(1)), None
+
+    init = (jnp.zeros_like(pos), jnp.zeros_like(pos), jnp.zeros((n,), pos.dtype))
+    (dv, da, dy), _ = jax.lax.scan(
+        body, init, jnp.arange(num_tiles, dtype=jnp.int32)
+    )
+    return dv, da, dy
+
+
+@functools.lru_cache(maxsize=None)
+def _grid_geometry(bounds: float, radius: float):
+    cell = 2.0 * radius
+    g = max(1, int(-(-bounds // cell)))
+    return cell, g
+
+
+def build_grid(pos, alive, cfg: StaticConfig):
+    """Counting-sort particles into fixed-capacity cell buckets.
+
+    Returns ``(bucket [(G*G+1), K] int32 — particle indices, -1 = empty;
+    the last row is an always-empty pad row for out-of-range neighbors —
+    cell_of [N] int32, overflow int32)``.  Overflowing particles (rank ≥ K
+    within their cell) are dropped from *candidate* lists; the overflow
+    counter is surfaced for observability (SURVEY.md §5 metrics).
+    """
+    n = pos.shape[0]
+    k = cfg.grid_cell_capacity
+    cell, g = _grid_geometry(cfg.bounds_size, cfg.particle_radius)
+    ncells = g * g
+    cx = jnp.clip((pos[:, 0] / cell).astype(jnp.int32), 0, g - 1)
+    cy = jnp.clip((pos[:, 1] / cell).astype(jnp.int32), 0, g - 1)
+    cid = jnp.where(alive, cx * g + cy, jnp.int32(ncells))  # dead → pad cell
+    order = jnp.argsort(cid, stable=True).astype(jnp.int32)
+    sorted_cid = cid[order]
+    starts = jnp.searchsorted(sorted_cid, jnp.arange(ncells + 1, dtype=jnp.int32))
+    rank = jnp.arange(n, dtype=jnp.int32) - starts[jnp.clip(sorted_cid, 0, ncells)]
+    keep = (rank < k) & (sorted_cid < ncells)
+    flat = jnp.where(keep, sorted_cid * k + rank, (ncells + 1) * k)
+    bucket = jnp.full(((ncells + 1) * k + 1,), -1, jnp.int32)
+    bucket = bucket.at[flat].set(order, mode="drop")
+    bucket = bucket[: (ncells + 1) * k].reshape(ncells + 1, k)
+    overflow = jnp.sum((~keep & (sorted_cid < ncells)).astype(jnp.int32))
+    return bucket, cx * g + cy, overflow
+
+
+def _grid(pos, vel, alive, consts, cfg):
+    n = pos.shape[0]
+    k = cfg.grid_cell_capacity
+    cell, g = _grid_geometry(cfg.bounds_size, cfg.particle_radius)
+    ncells = g * g
+    bucket, _, _ = build_grid(pos, alive, cfg)
+
+    cx = jnp.clip((pos[:, 0] / cell).astype(jnp.int32), 0, g - 1)
+    cy = jnp.clip((pos[:, 1] / cell).astype(jnp.int32), 0, g - 1)
+    offs = jnp.array(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], jnp.int32
+    )
+    nx = cx[:, None] + offs[None, :, 0]
+    ny = cy[:, None] + offs[None, :, 1]
+    in_range = (nx >= 0) & (nx < g) & (ny >= 0) & (ny < g)
+    ncell_idx = jnp.where(in_range, nx * g + ny, ncells)  # pad row when off-grid
+
+    cand = bucket[ncell_idx].reshape(n, 9 * k)  # [N, 9K]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    valid = (cand >= 0) & (cand != idx[:, None]) & alive[:, None]
+    safe = jnp.clip(cand, 0, n - 1)
+    valid = valid & alive[safe]
+    p_j = pos[safe]
+    v_j = vel[safe]
+    dv, da, dy = _pair_terms(pos, vel, p_j, v_j, valid, consts, cfg, idx, safe)
+    return dv.sum(1), da.sum(1), dy.sum(1)
