@@ -1,0 +1,217 @@
+"""Command-line interface — the programmatic app shell (component C9;
+the reference's UI wiring, main.ts, becomes CLI verbs).
+
+Verbs:
+
+- ``run``      step a scene, print live stats (≙ the FPS overlay)
+- ``render``   step + write PNG frames (≙ the render pass + canvas)
+- ``bench``    timed benchmark, one JSON line (driver contract)
+- ``snapshot`` save / info / run-from snapshot files (≙ main.ts:49-87)
+- ``scenes``   list built-in scene families
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Optional
+
+
+def _warm_readback():
+    """First D2H through some TPU transports is very slow; pay it up front."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    np.asarray(jax.block_until_ready(jnp.zeros(8)))
+
+
+def _build_scene(args):
+    from .models import SCENES
+
+    if args.scene not in SCENES:
+        sys.exit(f"unknown scene {args.scene!r}; try: {', '.join(SCENES)}")
+    kwargs = {}
+    if args.n is not None:
+        if args.scene in ("self_colliding_cloth", "tearing_cloth"):
+            kwargs["n_particles"] = args.n
+        elif args.scene == "multi_blob":
+            kwargs["n_blobs"] = args.n
+        elif args.scene == "cloth":
+            side = max(2, int(args.n ** 0.5))
+            kwargs["w"] = kwargs["h"] = side
+    state, cfg = SCENES[args.scene](**kwargs)
+    import dataclasses
+
+    overrides = {}
+    if args.collision is not None:
+        overrides["collision_mode"] = args.collision
+    if args.subticks is not None:
+        overrides["subticks"] = args.subticks
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return state, cfg
+
+
+def _common_scene_args(p):
+    p.add_argument("--scene", default="default", help="scene family name")
+    p.add_argument("--n", type=int, default=None,
+                   help="scene size (particles / blobs / cloth side²)")
+    p.add_argument("--collision", choices=["none", "allpairs", "grid"],
+                   default=None)
+    p.add_argument("--subticks", type=int, default=None)
+    p.add_argument("--frames", type=int, default=120)
+
+
+def cmd_run(args) -> int:
+    import numpy as np
+
+    from .config import PhysicsConstants, UserInput
+    from .ops.step import frame_jit
+    from .utils.profiling import Profiler
+
+    _warm_readback()
+    state, cfg = _build_scene(args)
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+    n = int(state.particle_count)
+    print(f"scene={args.scene} particles={n} beams={int(state.beam_count)} "
+          f"collision={cfg.collision_mode} subticks={cfg.subticks}",
+          file=sys.stderr)
+    prof = Profiler(cfg.subticks, n)
+    # compile
+    state = frame_jit(state, consts, uin, cfg)
+    import jax
+
+    jax.block_until_ready(state.pos)
+    prof.start()
+    report_every = max(1, args.frames // 10)
+    for f in range(args.frames):
+        state = frame_jit(state, consts, uin, cfg)
+        if (f + 1) % report_every == 0:
+            jax.block_until_ready(state.pos)
+            prof.stop()
+            prof.frames = f + 1
+            print(
+                f"frame {f+1}/{args.frames}  "
+                f"{prof.substeps_per_sec:,.0f} substeps/s  "
+                f"{prof.particle_substeps_per_sec:,.3g} particle-substeps/s",
+                file=sys.stderr,
+            )
+            prof.start()
+    jax.block_until_ready(state.pos)
+    prof.stop()
+    p = np.asarray(state.pos)[np.asarray(state.particle_alive)]
+    print(json.dumps({
+        "scene": args.scene,
+        "frames": args.frames,
+        "substeps_per_sec": round(prof.substeps_per_sec, 1),
+        "particle_substeps_per_sec": round(prof.particle_substeps_per_sec, 1),
+        "beams_alive": int(state.beam_count),
+        "finite": bool(np.isfinite(p).all()),
+    }))
+    return 0
+
+
+def cmd_render(args) -> int:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .config import PhysicsConstants, UserInput
+    from .ops.step import frame_jit
+    from .viz import render_state, save_png
+
+    _warm_readback()
+    state, cfg = _build_scene(args)
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+    os.makedirs(args.out, exist_ok=True)
+    prev = None
+    written = 0
+    for f in range(args.frames):
+        state = frame_jit(state, consts, uin, cfg)
+        if f % args.every == 0:
+            img = render_state(state, cfg, resolution=args.resolution,
+                               prev_frame=prev if args.trails else None)
+            prev = img
+            path = os.path.join(args.out, f"frame_{f:05d}.png")
+            save_png(path, np.asarray(img))
+            written += 1
+    print(json.dumps({"frames_written": written, "out": args.out}))
+    return 0
+
+
+def cmd_snapshot(args) -> int:
+    import numpy as np
+
+    from .config import PhysicsConstants
+    from .snapshot import load_snapshot, save_snapshot
+
+    _warm_readback()
+    if args.action == "create":
+        ns = argparse.Namespace(scene=args.scene, n=args.n, collision=None,
+                                subticks=None)
+        state, cfg = _build_scene(ns)
+        buf = save_snapshot(state, PhysicsConstants.default(), format=args.format)
+        with open(args.file, "wb") as f:
+            f.write(buf)
+        print(json.dumps({"file": args.file, "bytes": len(buf)}))
+    elif args.action == "info":
+        with open(args.file, "rb") as f:
+            buf = f.read()
+        state, consts = load_snapshot(buf)
+        print(json.dumps({
+            "format": "v1" if buf[:4] == b"SBT1" else "v0",
+            "particles": int(state.particle_count),
+            "beams": int(state.beam_count),
+            "constants": [round(float(x), 6) for x in np.asarray(consts.to_array())],
+        }))
+    return 0
+
+
+def cmd_scenes(args) -> int:
+    from .models import SCENES
+
+    for name, fn in SCENES.items():
+        print(f"{name:24s} {fn.__doc__.splitlines()[0] if fn.__doc__ else ''}")
+    return 0
+
+
+def main(argv: Optional[list] = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="softbody_tpu",
+        description="TPU-native softbody engine (JAX/XLA/Pallas)",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="step a scene and report throughput")
+    _common_scene_args(p)
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("render", help="step a scene and write PNG frames")
+    _common_scene_args(p)
+    p.add_argument("--out", default="frames")
+    p.add_argument("--every", type=int, default=1)
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--trails", action="store_true",
+                   help="alpha-0.4 trail effect like the reference")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("snapshot", help="create/inspect snapshot files")
+    p.add_argument("action", choices=["create", "info"])
+    p.add_argument("file")
+    p.add_argument("--scene", default="default")
+    p.add_argument("--n", type=int, default=None)
+    p.add_argument("--format", default="auto", choices=["auto", "v0", "v1"])
+    p.set_defaults(fn=cmd_snapshot)
+
+    p = sub.add_parser("scenes", help="list scene families")
+    p.set_defaults(fn=cmd_scenes)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,159 @@
+"""Host engine façade (component C2 — ≙ ``WGPUSoftbodyEngine``,
+engine.ts:31-239).
+
+Owns an :class:`EngineWorker` thread, forwards input/constants/snapshots
+over the typed message protocol with acks, exposes render packets and
+stats, and mirrors the reference's input model (keyboard force vector,
+throttled coalesced input sends, visibility pause)."""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Optional, Set, Tuple
+
+import numpy as np
+
+from ..config import PhysicsConstants
+from ..state import SimState
+from .protocol import EngineOptions, MessageType
+from .worker import EngineStats, EngineWorker, RenderPacket
+
+
+class Engine:
+    """The public runtime API.
+
+    >>> eng = Engine(state)            # spawns the worker thread
+    >>> eng.set_physics_constants(c)   # RPC with ack
+    >>> pkt = eng.render_packet()      # decoupled readback for viz
+    >>> buf = eng.save_snapshot()
+    >>> eng.destroy()
+    """
+
+    def __init__(
+        self,
+        state: SimState,
+        consts: Optional[PhysicsConstants] = None,
+        options: Optional[EngineOptions] = None,
+    ) -> None:
+        self.options = options or EngineOptions()
+        self._worker = EngineWorker(state, consts, self.options)
+        self._destroyed = False
+        # input model ≙ engine.ts:39-75
+        self.keyboard_force: float = 1.0
+        self.user_strength: float = 1.0
+        self._held_keys: Set[str] = set()
+        self._mouse_pos = np.zeros(2, np.float32)
+        self._mouse_active = False
+        self._last_input_send = 0.0
+        self._input_throttle_s = 0.010  # 10 ms throttle (engine.ts:51)
+
+    # ---- physics constants (engine.ts:187-192) ----
+
+    def set_physics_constants(self, consts: PhysicsConstants) -> None:
+        self._worker.post_with_ack(MessageType.PHYSICS_CONSTANTS, consts)
+
+    def get_physics_constants(self) -> PhysicsConstants:
+        return self._worker.post_with_ack(MessageType.GET_PHYSICS_CONSTANTS)
+
+    # ---- snapshots (engine.ts:194-199) ----
+
+    def save_snapshot(self) -> bytes:
+        return self._worker.post_with_ack(MessageType.SNAPSHOT_SAVE)
+
+    def load_snapshot(self, buf: bytes) -> bool:
+        return bool(self._worker.post_with_ack(MessageType.SNAPSHOT_LOAD, buf))
+
+    # ---- fault injection (engine.ts:201-203) ----
+
+    def corrupt_buffers(self) -> None:
+        self._worker.post_with_ack(MessageType.CORRUPT_BUFFERS)
+
+    # ---- input (engine.ts:46-125) ----
+
+    def key_down(self, key: str) -> None:
+        self._held_keys.add(key.lower())
+        self._send_input()
+
+    def key_up(self, key: str) -> None:
+        self._held_keys.discard(key.lower())
+        self._send_input()
+
+    def mouse(self, pos, active: bool) -> None:
+        self._mouse_pos = np.asarray(pos, np.float32)
+        self._mouse_active = bool(active)
+        self._send_input()
+
+    def blur(self) -> None:
+        """Window blur: clear all held input (engine.ts:117-121)."""
+        self._held_keys.clear()
+        self._mouse_active = False
+        self._send_input(force=True)
+
+    def _applied_force(self) -> np.ndarray:
+        """WASD → force vector (engine.ts:69-75)."""
+        k = self.keyboard_force
+        fx = (k if "d" in self._held_keys else 0.0) - (
+            k if "a" in self._held_keys else 0.0
+        )
+        fy = (k if "w" in self._held_keys else 0.0) - (
+            k if "s" in self._held_keys else 0.0
+        )
+        return np.array([fx, fy], np.float32)
+
+    def _send_input(self, force: bool = False) -> None:
+        now = time.monotonic()
+        if not force and now - self._last_input_send < self._input_throttle_s:
+            return  # coalesced: worker reads the latest slot each frame
+        self._last_input_send = now
+        self._worker.post(
+            MessageType.INPUT,
+            (
+                self._applied_force(),
+                self._mouse_pos,
+                self._mouse_active,
+                self.user_strength,
+            ),
+        )
+
+    # ---- visibility (engine.ts:122-124) ----
+
+    def set_hidden(self, hidden: bool) -> None:
+        self._worker.post(MessageType.VISIBILITY_CHANGE, hidden)
+
+    # ---- observability ----
+
+    def render_packet(self) -> Optional[RenderPacket]:
+        return self._worker.post_with_ack(MessageType.GET_RENDER_PACKET)
+
+    def stats(self) -> EngineStats:
+        return self._worker.post_with_ack(MessageType.GET_STATS)
+
+    @property
+    def fps(self) -> float:
+        return self._worker.fps
+
+    # ---- lifecycle (engine.ts:225-238) ----
+
+    def destroy(self) -> None:
+        if self._destroyed:
+            return
+        self._destroyed = True
+        try:
+            self._worker.post_with_ack(MessageType.DESTROY, timeout=30.0)
+        except (TimeoutError, RuntimeError):
+            pass
+        self._worker.join(timeout=30.0)
+
+    @property
+    def destroyed(self) -> bool:
+        return self._destroyed
+
+    @property
+    def error(self) -> Optional[BaseException]:
+        return self._worker.error
+
+    def __enter__(self) -> "Engine":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.destroy()

@@ -30,6 +30,7 @@ def integrate_particles(
     vel: jax.Array,
     acc: jax.Array,
     alive: jax.Array,
+    pinned: jax.Array,
     coll_dv: jax.Array,
     coll_da: jax.Array,
     coll_dy: jax.Array,
@@ -103,7 +104,8 @@ def integrate_particles(
     v = jnp.stack([vx, vy], axis=-1)
     a = jnp.stack([ax, ay], axis=-1)
 
-    keep = alive[:, None]
+    # Dead lanes pass through; pinned particles exert forces but never move.
+    keep = (alive & ~pinned)[:, None]
     return (
         jnp.where(keep, p, pos),
         jnp.where(keep, v, vel),

@@ -46,6 +46,7 @@ def substep(
         state.vel,
         state.acc,
         state.particle_alive,
+        state.particle_pinned,
         coll_dv,
         coll_da,
         coll_dy,

@@ -46,6 +46,10 @@ class SimState:
     vel: jax.Array
     acc: jax.Array
     particle_alive: jax.Array
+    # Pinned (anchored) particles: participate in collisions and springs
+    # but never move.  TPU-build extension (no reference equivalent;
+    # required by BASELINE.json config 2 "pinned anchors").
+    particle_pinned: jax.Array
 
     # Beam plane [M] (+ endpoint indices [M] i32).
     beam_a: jax.Array
@@ -94,6 +98,7 @@ def empty_state(max_particles: int, max_beams: int) -> SimState:
         vel=jnp.zeros((n, 2), f32),
         acc=jnp.zeros((n, 2), f32),
         particle_alive=jnp.zeros((n,), bool),
+        particle_pinned=jnp.zeros((n,), bool),
         beam_a=jnp.zeros((m,), jnp.int32),
         beam_b=jnp.zeros((m,), jnp.int32),
         beam_length=jnp.ones((m,), f32),
@@ -122,6 +127,7 @@ def state_from_numpy(
     beam_target_length: Optional[np.ndarray] = None,
     beam_last_length: Optional[np.ndarray] = None,
     acc: Optional[np.ndarray] = None,
+    pinned: Optional[np.ndarray] = None,
     max_particles: Optional[int] = None,
     max_beams: Optional[int] = None,
     build_incidence: bool = True,
@@ -136,6 +142,9 @@ def state_from_numpy(
     n_live = pos.shape[0]
     vel = np.zeros_like(pos) if vel is None else np.asarray(vel, np.float32)
     acc = np.zeros_like(pos) if acc is None else np.asarray(acc, np.float32)
+    pinned = (
+        np.zeros((n_live,), bool) if pinned is None else np.asarray(pinned, bool)
+    )
     if beams is None:
         beams = np.zeros((0, 2), np.int32)
     beams = np.asarray(beams, np.int32).reshape(-1, 2)
@@ -191,6 +200,7 @@ def state_from_numpy(
         vel=padp(vel),
         acc=padp(acc),
         particle_alive=padp(np.ones((n_live,), bool)),
+        particle_pinned=padp(pinned),
         beam_a=padb(beams[:, 0]),
         beam_b=padb(beams[:, 1]),
         beam_length=padb(beam_length, 1.0),

@@ -1,0 +1,146 @@
+"""Runtime engine tests: worker thread, RPC protocol, decoupled readback,
+snapshot round-trip through the engine, fault injection survival."""
+
+import time
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from softbody_tpu import PhysicsConstants, state_from_numpy
+from softbody_tpu.engine import Engine, EngineOptions, FifoLock
+from softbody_tpu.models import default_scene
+
+
+def small_engine(**kw):
+    pos = np.array([[300.0, 500.0], [340.0, 500.0], [700.0, 300.0]], np.float32)
+    beams = np.array([[0, 1]], np.int32)
+    state = state_from_numpy(pos, beams=beams, beam_spring=10.0, beam_damp=2.0)
+    opts = EngineOptions(subticks=8, collision_mode="allpairs",
+                         target_fps=None, **kw)
+    return Engine(state, options=opts)
+
+
+def wait_frames(eng, n, timeout=60.0):
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout:
+        st = eng.stats()
+        if st.frame_index >= n:
+            return st
+        time.sleep(0.01)
+    raise TimeoutError(f"engine only reached frame {eng.stats().frame_index}")
+
+
+def test_engine_steps_and_reports_stats():
+    with small_engine() as eng:
+        st = wait_frames(eng, 5)
+        assert st.particle_count == 3
+        assert st.beam_count == 1
+        assert st.frame_index >= 5
+    assert eng.destroyed
+
+
+def test_render_packet_decoupled():
+    with small_engine() as eng:
+        wait_frames(eng, 3)
+        pkt = eng.render_packet()
+        assert pkt is not None
+        assert pkt.pos.shape == (3, 2)
+        assert np.isfinite(pkt.pos).all()
+        f1 = pkt.frame_index
+        wait_frames(eng, f1 + 3)
+        pkt2 = eng.render_packet()
+        assert pkt2.frame_index > f1
+        # gravity must be pulling the free particle down
+        assert pkt2.pos[2, 1] < 300.0
+
+
+def test_physics_constants_rpc():
+    with small_engine() as eng:
+        c = PhysicsConstants.default()
+        c.gravity = jnp.asarray([0.0, 3.0], jnp.float32)  # antigravity
+        eng.set_physics_constants(c)
+        got = eng.get_physics_constants()
+        np.testing.assert_array_equal(np.asarray(got.gravity), [0.0, 3.0])
+        wait_frames(eng, 10)
+        pkt = eng.render_packet()
+        assert pkt.pos[2, 1] > 300.0  # free particle floats up
+
+
+def test_snapshot_roundtrip_through_engine():
+    with small_engine() as eng:
+        wait_frames(eng, 3)
+        buf = eng.save_snapshot()
+        assert isinstance(buf, (bytes, bytearray))
+        st0 = eng.stats()
+        assert eng.load_snapshot(buf)
+        # state restored; engine keeps stepping from the checkpoint
+        wait_frames(eng, st0.frame_index + 2)
+        assert eng.error is None
+
+
+def test_snapshot_too_large_returns_false():
+    with small_engine(max_particles=2) as eng:
+        pos = np.random.uniform(50, 950, (10, 2)).astype(np.float32)
+        from softbody_tpu.snapshot import save_snapshot
+        buf = save_snapshot(state_from_numpy(pos), PhysicsConstants.default())
+        assert eng.load_snapshot(buf) is False
+        assert eng.error is None  # engine survives (≙ main.ts:79-83 alert path)
+
+
+def test_input_affects_simulation():
+    with small_engine() as eng:
+        eng.keyboard_force = 5.0
+        eng.key_down("d")  # push +x
+        wait_frames(eng, 12)
+        pkt = eng.render_packet()
+        assert pkt.pos[2, 0] > 700.0
+
+
+def test_visibility_pause():
+    with small_engine() as eng:
+        wait_frames(eng, 2)
+        eng.set_hidden(True)
+        time.sleep(0.3)
+        f1 = eng.stats().frame_index
+        time.sleep(0.3)
+        f2 = eng.stats().frame_index
+        assert f2 == f1  # paused
+        eng.set_hidden(False)
+        wait_frames(eng, f2 + 2)
+
+
+def test_corrupt_buffers_survival():
+    """Chaos test (≙ corruptBuffers, engineWorker.ts:599-617): random bit
+    garbage in every buffer must not kill the engine loop."""
+    with small_engine() as eng:
+        wait_frames(eng, 2)
+        for _ in range(5):
+            eng.corrupt_buffers()
+            time.sleep(0.05)
+        st = wait_frames(eng, eng.stats().frame_index + 5)
+        assert eng.error is None
+        pkt = eng.render_packet()
+        assert pkt.pos.shape == (3, 2)  # shapes intact even if values are junk
+
+
+def test_fifo_lock_ordering():
+    import threading
+
+    lock = FifoLock()
+    order = []
+
+    def worker(i):
+        with lock:
+            order.append(i)
+            time.sleep(0.01)
+
+    with lock:
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(5)]
+        for i, t in enumerate(threads):
+            t.start()
+            time.sleep(0.02)  # enforce arrival order
+    for t in threads:
+        t.join()
+    assert order == [0, 1, 2, 3, 4]
