@@ -1,0 +1,94 @@
+"""Headline benchmark (driver contract): particle-substeps/sec on the
+BASELINE north-star config — 1M particles / ~4M springs tearing cloth
+with grid self-collision — on one TPU chip.
+
+Prints exactly ONE JSON line to stdout:
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``
+(baseline: 500 substeps/s at 1M particles, BASELINE.md).
+
+Env knobs: ``BENCH_N`` (particle count, default 1_000_000),
+``BENCH_FRAMES`` (timed frames, default 8), ``BENCH_SCENE``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    # one-time D2H warm-up (first readback through the axon transport is
+    # minutes-slow; see .claude/skills/verify/SKILL.md)
+    t0 = time.time()
+    np.asarray(jax.block_until_ready(jnp.zeros(8)))
+    log(f"warmup readback {time.time() - t0:.1f}s; devices={jax.devices()}")
+
+    from softbody_tpu import PhysicsConstants, UserInput
+    from softbody_tpu.models import SCENES
+    from softbody_tpu.ops.step import frame_jit
+
+    n_target = int(os.environ.get("BENCH_N", 1_000_000))
+    frames = int(os.environ.get("BENCH_FRAMES", 8))
+    scene_name = os.environ.get("BENCH_SCENE", "tearing_cloth")
+
+    t0 = time.time()
+    state, cfg = SCENES[scene_name](n_particles=n_target)
+    n = int(np.asarray(state.particle_alive).sum())
+    m = int(np.asarray(state.beam_alive).sum())
+    log(f"scene {scene_name}: {n} particles, {m} beams, "
+        f"collision={cfg.collision_mode}, subticks={cfg.subticks} "
+        f"(built in {time.time() - t0:.1f}s)")
+
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+
+    t0 = time.time()
+    state = frame_jit(state, consts, uin, cfg)
+    jax.block_until_ready(state.pos)
+    log(f"compile+first frame {time.time() - t0:.1f}s")
+
+    # warm steady state
+    state = frame_jit(state, consts, uin, cfg)
+    jax.block_until_ready(state.pos)
+
+    t0 = time.time()
+    for _ in range(frames):
+        state = frame_jit(state, consts, uin, cfg)
+    jax.block_until_ready(state.pos)
+    elapsed = time.time() - t0
+
+    substeps = frames * cfg.subticks
+    substeps_per_sec = substeps / elapsed
+    particle_substeps_per_sec = substeps_per_sec * n
+    pos = np.asarray(state.pos)
+    finite = bool(np.isfinite(pos).all())
+    log(f"{frames} frames ({substeps} substeps) in {elapsed:.2f}s → "
+        f"{substeps_per_sec:.1f} substeps/s, "
+        f"{particle_substeps_per_sec:.3g} particle-substeps/s, finite={finite}")
+
+    result = {
+        "metric": f"substeps/sec @ {n} particles / {m} springs "
+                  f"({scene_name}, grid self-collision, breakage)",
+        "value": round(substeps_per_sec, 2),
+        "unit": "substeps/s",
+        "vs_baseline": round(substeps_per_sec / 500.0, 3),
+        "particle_substeps_per_sec": round(particle_substeps_per_sec, 1),
+        "particles": n,
+        "beams": m,
+        "finite": finite,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -41,19 +41,29 @@ def collision_terms(
     alive: jax.Array,
     consts: PhysicsConstants,
     cfg: StaticConfig,
+    *,
+    query=None,
 ):
     """Dispatch on ``cfg.collision_mode``.
 
-    Returns ``(dv [N,2], da [N,2], dy [N])`` — velocity impulse sum,
+    Returns ``(dv [Q,2], da [Q,2], dy [Q])`` — velocity impulse sum,
     acceleration (penetration) sum, and coincident-shift sum for ``p.y``.
+
+    ``query``: optional ``(pos_q, vel_q, alive_q, idx_q)`` — compute terms
+    only for these particles (``idx_q`` are their global indices into the
+    full arrays).  Used by spatial sharding, where each device evaluates
+    its own slab against the gathered world.  Defaults to all particles.
     """
+    if query is None:
+        n = pos.shape[0]
+        query = (pos, vel, alive, jnp.arange(n, dtype=jnp.int32))
     if cfg.collision_mode == "none":
-        z2 = jnp.zeros_like(pos)
-        return z2, z2, jnp.zeros(pos.shape[:1], pos.dtype)
+        z2 = jnp.zeros_like(query[0])
+        return z2, z2, jnp.zeros(query[0].shape[:1], pos.dtype)
     if cfg.collision_mode == "allpairs":
-        return _allpairs(pos, vel, alive, consts, cfg)
+        return _allpairs(pos, vel, alive, consts, cfg, query)
     if cfg.collision_mode == "grid":
-        return _grid(pos, vel, alive, consts, cfg)
+        return _grid(pos, vel, alive, consts, cfg, query)
     raise ValueError(cfg.collision_mode)
 
 
@@ -99,15 +109,16 @@ def _pair_terms(
     return jnp.where(ov, dv, 0.0), jnp.where(ov, da, 0.0), dy
 
 
-def _allpairs(pos, vel, alive, consts, cfg):
+def _allpairs(pos, vel, alive, consts, cfg, query):
+    pos_q, vel_q, alive_q, idx_q = query
     n = pos.shape[0]
+    q = pos_q.shape[0]
     tile = min(cfg.collision_tile, n)
     num_tiles = -(-n // tile)
     pad = num_tiles * tile - n
     pos_p = jnp.pad(pos, ((0, pad), (0, 0)))
     vel_p = jnp.pad(vel, ((0, pad), (0, 0)))
     alive_p = jnp.pad(alive, (0, pad))
-    idx = jnp.arange(n, dtype=jnp.int32)
     idx_p = jnp.arange(num_tiles * tile, dtype=jnp.int32)
 
     def body(carry, tile_idx):
@@ -118,20 +129,21 @@ def _allpairs(pos, vel, alive, consts, cfg):
         a_j = jax.lax.dynamic_slice_in_dim(alive_p, sl, tile)
         j_idx = jax.lax.dynamic_slice_in_dim(idx_p, sl, tile)
         valid = (
-            alive[:, None]
+            alive_q[:, None]
             & a_j[None, :]
-            & (idx[:, None] != j_idx[None, :])
+            & (idx_q[:, None] != j_idx[None, :])
         )
         pdv, pda, pdy = _pair_terms(
-            pos, vel,
-            jnp.broadcast_to(p_j[None], (n, tile, 2)),
-            jnp.broadcast_to(v_j[None], (n, tile, 2)),
-            valid, consts, cfg, idx,
-            jnp.broadcast_to(j_idx[None], (n, tile)),
+            pos_q, vel_q,
+            jnp.broadcast_to(p_j[None], (q, tile, 2)),
+            jnp.broadcast_to(v_j[None], (q, tile, 2)),
+            valid, consts, cfg, idx_q,
+            jnp.broadcast_to(j_idx[None], (q, tile)),
         )
         return (dv + pdv.sum(1), da + pda.sum(1), dy + pdy.sum(1)), None
 
-    init = (jnp.zeros_like(pos), jnp.zeros_like(pos), jnp.zeros((n,), pos.dtype))
+    init = (jnp.zeros_like(pos_q), jnp.zeros_like(pos_q),
+            jnp.zeros((q,), pos.dtype))
     (dv, da, dy), _ = jax.lax.scan(
         body, init, jnp.arange(num_tiles, dtype=jnp.int32)
     )
@@ -174,15 +186,17 @@ def build_grid(pos, alive, cfg: StaticConfig):
     return bucket, cx * g + cy, overflow
 
 
-def _grid(pos, vel, alive, consts, cfg):
+def _grid(pos, vel, alive, consts, cfg, query):
+    pos_q, vel_q, alive_q, idx_q = query
     n = pos.shape[0]
+    q = pos_q.shape[0]
     k = cfg.grid_cell_capacity
     cell, g = _grid_geometry(cfg.bounds_size, cfg.particle_radius)
     ncells = g * g
     bucket, _, _ = build_grid(pos, alive, cfg)
 
-    cx = jnp.clip((pos[:, 0] / cell).astype(jnp.int32), 0, g - 1)
-    cy = jnp.clip((pos[:, 1] / cell).astype(jnp.int32), 0, g - 1)
+    cx = jnp.clip((pos_q[:, 0] / cell).astype(jnp.int32), 0, g - 1)
+    cy = jnp.clip((pos_q[:, 1] / cell).astype(jnp.int32), 0, g - 1)
     offs = jnp.array(
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], jnp.int32
     )
@@ -191,12 +205,11 @@ def _grid(pos, vel, alive, consts, cfg):
     in_range = (nx >= 0) & (nx < g) & (ny >= 0) & (ny < g)
     ncell_idx = jnp.where(in_range, nx * g + ny, ncells)  # pad row when off-grid
 
-    cand = bucket[ncell_idx].reshape(n, 9 * k)  # [N, 9K]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    valid = (cand >= 0) & (cand != idx[:, None]) & alive[:, None]
+    cand = bucket[ncell_idx].reshape(q, 9 * k)  # [Q, 9K]
+    valid = (cand >= 0) & (cand != idx_q[:, None]) & alive_q[:, None]
     safe = jnp.clip(cand, 0, n - 1)
     valid = valid & alive[safe]
     p_j = pos[safe]
     v_j = vel[safe]
-    dv, da, dy = _pair_terms(pos, vel, p_j, v_j, valid, consts, cfg, idx, safe)
+    dv, da, dy = _pair_terms(pos_q, vel_q, p_j, v_j, valid, consts, cfg, idx_q, safe)
     return dv.sum(1), da.sum(1), dy.sum(1)
