@@ -34,35 +34,61 @@ def main() -> int:
     log(f"warmup readback {time.time() - t0:.1f}s; devices={jax.devices()}")
 
     from softbody_tpu import PhysicsConstants, UserInput
-    from softbody_tpu.models import SCENES
-    from softbody_tpu.ops.step import frame_jit
 
     n_target = int(os.environ.get("BENCH_N", 1_000_000))
     frames = int(os.environ.get("BENCH_FRAMES", 8))
     scene_name = os.environ.get("BENCH_SCENE", "tearing_cloth")
-
-    t0 = time.time()
-    state, cfg = SCENES[scene_name](n_particles=n_target)
-    n = int(np.asarray(state.particle_alive).sum())
-    m = int(np.asarray(state.beam_alive).sum())
-    log(f"scene {scene_name}: {n} particles, {m} beams, "
-        f"collision={cfg.collision_mode}, subticks={cfg.subticks} "
-        f"(built in {time.time() - t0:.1f}s)")
+    path = os.environ.get("BENCH_PATH", "lattice")
 
     consts, uin = PhysicsConstants.default(), UserInput.none()
+    t0 = time.time()
+    if path == "lattice" and scene_name == "tearing_cloth":
+        # dense stencil engine — the TPU-native fast path for lattices
+        from softbody_tpu.models import tearing_cloth_lattice
+        from softbody_tpu.ops.stencil import lattice_frame_jit
+
+        state, spec, cfg, consts = tearing_cloth_lattice(n_particles=n_target)
+        w, h = state.shape
+        n = w * h
+        m = sum(int(np.asarray(e.alive).sum()) for e in state.edges)
+        log(f"scene {scene_name} (dense lattice {w}x{h}): {n} particles, "
+            f"{m} springs, collision stencil r={spec.collision_stencil}, "
+            f"subticks={cfg.subticks} (built in {time.time() - t0:.1f}s)")
+
+        def step(s):
+            return lattice_frame_jit(s, consts, uin, spec, cfg)
+
+        def alive_beams(s):
+            return sum(int(np.asarray(e.alive).sum()) for e in s.edges)
+    else:
+        from softbody_tpu.models import SCENES
+        from softbody_tpu.ops.step import frame_jit
+
+        state, cfg = SCENES[scene_name](n_particles=n_target)
+        n = int(np.asarray(state.particle_alive).sum())
+        m = int(np.asarray(state.beam_alive).sum())
+        log(f"scene {scene_name}: {n} particles, {m} beams, "
+            f"collision={cfg.collision_mode}, subticks={cfg.subticks} "
+            f"(built in {time.time() - t0:.1f}s)")
+
+        def step(s):
+            return frame_jit(s, consts, uin, cfg)
+
+        def alive_beams(s):
+            return int(np.asarray(s.beam_alive).sum())
 
     t0 = time.time()
-    state = frame_jit(state, consts, uin, cfg)
+    state = step(state)
     jax.block_until_ready(state.pos)
     log(f"compile+first frame {time.time() - t0:.1f}s")
 
     # warm steady state
-    state = frame_jit(state, consts, uin, cfg)
+    state = step(state)
     jax.block_until_ready(state.pos)
 
     t0 = time.time()
     for _ in range(frames):
-        state = frame_jit(state, consts, uin, cfg)
+        state = step(state)
     jax.block_until_ready(state.pos)
     elapsed = time.time() - t0
 
@@ -77,13 +103,13 @@ def main() -> int:
 
     result = {
         "metric": f"substeps/sec @ {n} particles / {m} springs "
-                  f"({scene_name}, grid self-collision, breakage)",
+                  f"({scene_name}, {path} path, self-collision, breakage)",
         "value": round(substeps_per_sec, 2),
         "unit": "substeps/s",
         "vs_baseline": round(substeps_per_sec / 500.0, 3),
         "particle_substeps_per_sec": round(particle_substeps_per_sec, 1),
         "particles": n,
-        "beams": m,
+        "beams_final": alive_beams(state),
         "finite": finite,
     }
     print(json.dumps(result))

@@ -71,7 +71,7 @@ def cmd_run(args) -> int:
 
     from .config import PhysicsConstants, UserInput
     from .ops.step import frame_jit
-    from .utils.profiling import Profiler
+    from .utils.profiling import Profiler, device_trace
 
     _warm_readback()
     state, cfg = _build_scene(args)
@@ -88,6 +88,8 @@ def cmd_run(args) -> int:
     jax.block_until_ready(state.pos)
     prof.start()
     report_every = max(1, args.frames // 10)
+    trace_ctx = device_trace(getattr(args, "trace", None))
+    trace_ctx.__enter__()
     for f in range(args.frames):
         state = frame_jit(state, consts, uin, cfg)
         if (f + 1) % report_every == 0:
@@ -102,6 +104,7 @@ def cmd_run(args) -> int:
             )
             prof.start()
     jax.block_until_ready(state.pos)
+    trace_ctx.__exit__(None, None, None)
     prof.stop()
     p = np.asarray(state.pos)[np.asarray(state.particle_alive)]
     print(json.dumps({
@@ -187,6 +190,8 @@ def main(argv: Optional[list] = None) -> int:
 
     p = sub.add_parser("run", help="step a scene and report throughput")
     _common_scene_args(p)
+    p.add_argument("--trace", default=None, metavar="LOGDIR",
+                   help="capture a jax.profiler trace (Perfetto/XProf)")
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("render", help="step a scene and write PNG frames")

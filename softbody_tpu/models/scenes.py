@@ -191,8 +191,8 @@ def multi_blob(n_blobs: int = 64, blob_radius: float = 45.0,
     return state, cfg
 
 
-def tearing_cloth(n_particles: int = 1_000_000, spring: float = 4000.0,
-                  damp: float = 50.0, strain_limit: float = 0.25
+def tearing_cloth(n_particles: int = 1_000_000, spring: float = 120.0,
+                  damp: float = 10.0, strain_limit: float = 0.25
                   ) -> Tuple[SimState, StaticConfig]:
     """Config 5: 1M particles / ~4M springs tearing cloth.
 

@@ -158,32 +158,34 @@ def _grid_geometry(bounds: float, radius: float):
 
 
 def build_grid(pos, alive, cfg: StaticConfig):
-    """Counting-sort particles into fixed-capacity cell buckets.
+    """Scatter-free cell list: counting-sort particles by cell id, keep
+    only the *sorted order* and per-cell start offsets.
 
-    Returns ``(bucket [(G*G+1), K] int32 — particle indices, -1 = empty;
-    the last row is an always-empty pad row for out-of-range neighbors —
-    cell_of [N] int32, overflow int32)``.  Overflowing particles (rank ≥ K
-    within their cell) are dropped from *candidate* lists; the overflow
-    counter is surfaced for observability (SURVEY.md §5 metrics).
+    TPU note: XLA lowers scatter poorly (near-serial), while sorts and
+    gathers are fast — so the classic "scatter into buckets" step is
+    replaced by ``bucket[c, k] = order[starts[c] + k]`` computed lazily by
+    the neighbor search as pure gathers.
+
+    Returns ``(order [N] int32 — particle indices sorted by cell,
+    starts [G²+2] int32 — per-cell offsets into order, overflow int32)``.
+    Cells with more than ``cfg.grid_cell_capacity`` live particles drop
+    the excess from candidate lists; the overflow counter is surfaced for
+    observability (SURVEY.md §5 metrics).
     """
-    n = pos.shape[0]
     k = cfg.grid_cell_capacity
     cell, g = _grid_geometry(cfg.bounds_size, cfg.particle_radius)
     ncells = g * g
     cx = jnp.clip((pos[:, 0] / cell).astype(jnp.int32), 0, g - 1)
     cy = jnp.clip((pos[:, 1] / cell).astype(jnp.int32), 0, g - 1)
     cid = jnp.where(alive, cx * g + cy, jnp.int32(ncells))  # dead → pad cell
-    order = jnp.argsort(cid, stable=True).astype(jnp.int32)
+    order = jnp.argsort(cid).astype(jnp.int32)
     sorted_cid = cid[order]
-    starts = jnp.searchsorted(sorted_cid, jnp.arange(ncells + 1, dtype=jnp.int32))
-    rank = jnp.arange(n, dtype=jnp.int32) - starts[jnp.clip(sorted_cid, 0, ncells)]
-    keep = (rank < k) & (sorted_cid < ncells)
-    flat = jnp.where(keep, sorted_cid * k + rank, (ncells + 1) * k)
-    bucket = jnp.full(((ncells + 1) * k + 1,), -1, jnp.int32)
-    bucket = bucket.at[flat].set(order, mode="drop")
-    bucket = bucket[: (ncells + 1) * k].reshape(ncells + 1, k)
-    overflow = jnp.sum((~keep & (sorted_cid < ncells)).astype(jnp.int32))
-    return bucket, cx * g + cy, overflow
+    starts = jnp.searchsorted(
+        sorted_cid, jnp.arange(ncells + 2, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    counts = starts[1:-1] - starts[:-2]
+    overflow = jnp.sum(jnp.maximum(counts - k, 0))
+    return order, starts, overflow
 
 
 def _grid(pos, vel, alive, consts, cfg, query):
@@ -193,7 +195,7 @@ def _grid(pos, vel, alive, consts, cfg, query):
     k = cfg.grid_cell_capacity
     cell, g = _grid_geometry(cfg.bounds_size, cfg.particle_radius)
     ncells = g * g
-    bucket, _, _ = build_grid(pos, alive, cfg)
+    order, starts, _ = build_grid(pos, alive, cfg)
 
     cx = jnp.clip((pos_q[:, 0] / cell).astype(jnp.int32), 0, g - 1)
     cy = jnp.clip((pos_q[:, 1] / cell).astype(jnp.int32), 0, g - 1)
@@ -203,10 +205,17 @@ def _grid(pos, vel, alive, consts, cfg, query):
     nx = cx[:, None] + offs[None, :, 0]
     ny = cy[:, None] + offs[None, :, 1]
     in_range = (nx >= 0) & (nx < g) & (ny >= 0) & (ny < g)
-    ncell_idx = jnp.where(in_range, nx * g + ny, ncells)  # pad row when off-grid
+    ncell_idx = jnp.where(in_range, nx * g + ny, ncells)  # empty pad cell
 
-    cand = bucket[ncell_idx].reshape(q, 9 * k)  # [Q, 9K]
-    valid = (cand >= 0) & (cand != idx_q[:, None]) & alive_q[:, None]
+    # lazy bucket: candidate slot k of neighbor cell c = order[starts[c]+k]
+    c_start = starts[ncell_idx]  # [Q, 9]
+    c_count = jnp.minimum(starts[ncell_idx + 1] - c_start, k)
+    slot = jnp.arange(k, dtype=jnp.int32)
+    cand_pos = c_start[..., None] + slot[None, None, :]  # [Q, 9, K]
+    in_cell = slot[None, None, :] < c_count[..., None]
+    cand = order[jnp.clip(cand_pos, 0, n - 1)].reshape(q, 9 * k)
+    valid = in_cell.reshape(q, 9 * k)
+    valid = valid & (cand != idx_q[:, None]) & alive_q[:, None]
     safe = jnp.clip(cand, 0, n - 1)
     valid = valid & alive[safe]
     p_j = pos[safe]

@@ -99,7 +99,7 @@ def test_multi_blob_scene_small():
 def test_tearing_cloth_small():
     """Scaled-down tearing config: weight of an unpinned-but-heavy sheet
     breaks beams over time."""
-    state, cfg = tearing_cloth(n_particles=400, spring=4000.0,
+    state, cfg = tearing_cloth(n_particles=400, spring=120.0,
                                strain_limit=0.02)
     m0 = int(state.beam_count)
     consts, uin = PhysicsConstants.default(), UserInput.none()
