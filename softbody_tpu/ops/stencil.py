@@ -246,6 +246,20 @@ def lattice_substep(
     # ---- dense collision stencil (exact pair math, compute.wgsl:150-168) ----
     if cfg.collision_mode == "none" or spec.collision_stencil == 0:
         dvx = dvy = dax = day = dyn = jnp.zeros((w, h), jnp.float32)
+    elif cfg.use_pallas:
+        from .pallas.collide_stencil import stencil_collisions_pallas
+
+        dvx, dvy, dax, day, dyn = stencil_collisions_pallas(
+            state.pos[..., 0], state.pos[..., 1],
+            state.vel[..., 0], state.vel[..., 1],
+            state.alive,
+            jnp.float32(cfg.particle_radius),
+            jnp.float32(cfg.dt),
+            (consts.elasticity + 1.0) * 0.5,
+            consts.friction,
+            w=w, h=h, stencil=spec.collision_stencil,
+            interpret=jax.default_backend() != "tpu",
+        )
     else:
         dvx, dvy, dax, day, dyn = _stencil_collisions(state, consts, spec, cfg)
 
