@@ -146,8 +146,13 @@ def lattice_substep(
     uin: UserInput,
     spec: LatticeSpec,
     cfg: StaticConfig,
+    lin_x_offset=0,
 ) -> LatticeState:
     """One substep of the dense path (semantics of compute.wgsl:90-203).
+
+    ``lin_x_offset``: global x-index of local column 0 — makes the
+    coincident-nudge tiebreak (``sign(lin_i − lin_j)``) globally
+    consistent under spatial sharding.
 
     TPU shaping: all vector quantities are component-split to [W, H]
     planes internally (full lane utilization), neighbor access is
@@ -261,7 +266,9 @@ def lattice_substep(
             interpret=jax.default_backend() != "tpu",
         )
     else:
-        dvx, dvy, dax, day, dyn = _stencil_collisions(state, consts, spec, cfg)
+        dvx, dvy, dax, day, dyn = _stencil_collisions(
+            state, consts, spec, cfg, lin_x_offset
+        )
 
     # ---- integration (component twin of ops/integrate.py) ----
     pxn, pyn, vxn, vyn, axn, ayn = _integrate_components(
@@ -355,7 +362,7 @@ def _integrate_components(
     )
 
 
-def _stencil_collisions(state, consts, spec, cfg):
+def _stencil_collisions(state, consts, spec, cfg, lin_x_offset=0):
     """Reference pair math over index-space neighbor offsets (dense).
 
     TPU shaping: component-split [W, H] planes (a trailing length-2 axis
@@ -380,7 +387,7 @@ def _stencil_collisions(state, consts, spec, cfg):
     alv = padp(state.alive, False)
     # linear index x*H + y (the coincident-nudge tiebreak, compute.wgsl:153)
     lin = (
-        jnp.arange(w, dtype=jnp.float32)[:, None] * h
+        (jnp.arange(w, dtype=jnp.float32)[:, None] + lin_x_offset) * h
         + jnp.arange(h, dtype=jnp.float32)[None, :]
     )
     linp = padp(lin)
