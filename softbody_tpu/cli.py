@@ -64,6 +64,33 @@ def _common_scene_args(p):
                    default=None)
     p.add_argument("--subticks", type=int, default=None)
     p.add_argument("--frames", type=int, default=120)
+    p.add_argument("--path", choices=["general", "lattice"], default="general",
+                   help="engine path: general gather or dense lattice "
+                        "(lattice supports cloth / tearing_cloth)")
+
+
+def _build_lattice_scene(args):
+    """Dense-path builders for lattice-shaped scenes."""
+    import dataclasses
+
+    from .config import PhysicsConstants
+    from .models import cloth_lattice, tearing_cloth_lattice
+
+    consts = None
+    if args.scene == "tearing_cloth":
+        state, spec, cfg, consts = tearing_cloth_lattice(
+            n_particles=args.n or 1_000_000
+        )
+    elif args.scene == "cloth":
+        side = max(2, int((args.n or 1024) ** 0.5))
+        state, spec, cfg = cloth_lattice(w=side, h=side)
+    else:
+        sys.exit(f"--path lattice supports cloth/tearing_cloth, not {args.scene!r}")
+    if args.subticks is not None:
+        cfg = dataclasses.replace(cfg, subticks=args.subticks)
+    if consts is None:
+        consts = PhysicsConstants.default()
+    return state, spec, cfg, consts
 
 
 def cmd_run(args) -> int:
@@ -74,15 +101,38 @@ def cmd_run(args) -> int:
     from .utils.profiling import Profiler, device_trace
 
     _warm_readback()
-    state, cfg = _build_scene(args)
-    consts, uin = PhysicsConstants.default(), UserInput.none()
-    n = int(state.particle_count)
-    print(f"scene={args.scene} particles={n} beams={int(state.beam_count)} "
+    if args.path == "lattice":
+        from .ops.stencil import lattice_frame_jit
+
+        state, spec, cfg, consts = _build_lattice_scene(args)
+        w, h = state.shape
+        n = w * h
+        m = sum(int(np.asarray(e.alive).sum()) for e in state.edges)
+
+        def step(s):
+            return lattice_frame_jit(s, consts, uin, spec, cfg)
+
+        def beams_alive(s):
+            return sum(int(np.asarray(e.alive).sum()) for e in s.edges)
+    else:
+        state, cfg = _build_scene(args)
+        consts = PhysicsConstants.default()
+        n = int(state.particle_count)
+        m = int(state.beam_count)
+
+        def step(s):
+            return frame_jit(s, consts, uin, cfg)
+
+        def beams_alive(s):
+            return int(np.asarray(s.beam_alive).sum())
+
+    uin = UserInput.none()
+    print(f"scene={args.scene} path={args.path} particles={n} beams={m} "
           f"collision={cfg.collision_mode} subticks={cfg.subticks}",
           file=sys.stderr)
     prof = Profiler(cfg.subticks, n)
     # compile
-    state = frame_jit(state, consts, uin, cfg)
+    state = step(state)
     import jax
 
     jax.block_until_ready(state.pos)
@@ -91,9 +141,9 @@ def cmd_run(args) -> int:
     trace_ctx = device_trace(getattr(args, "trace", None))
     trace_ctx.__enter__()
     for f in range(args.frames):
-        state = frame_jit(state, consts, uin, cfg)
+        state = step(state)
         if (f + 1) % report_every == 0:
-            jax.block_until_ready(state.pos)
+            _ = float(np.asarray(state.pos).ravel()[0])  # force sync
             prof.stop()
             prof.frames = f + 1
             print(
@@ -103,16 +153,17 @@ def cmd_run(args) -> int:
                 file=sys.stderr,
             )
             prof.start()
-    jax.block_until_ready(state.pos)
+    _ = float(np.asarray(state.pos).ravel()[0])
     trace_ctx.__exit__(None, None, None)
     prof.stop()
-    p = np.asarray(state.pos)[np.asarray(state.particle_alive)]
+    p = np.asarray(state.pos).reshape(-1, 2)
     print(json.dumps({
         "scene": args.scene,
+        "path": args.path,
         "frames": args.frames,
         "substeps_per_sec": round(prof.substeps_per_sec, 1),
         "particle_substeps_per_sec": round(prof.particle_substeps_per_sec, 1),
-        "beams_alive": int(state.beam_count),
+        "beams_alive": beams_alive(state),
         "finite": bool(np.isfinite(p).all()),
     }))
     return 0
@@ -127,15 +178,38 @@ def cmd_render(args) -> int:
     from .viz import render_state, save_png
 
     _warm_readback()
-    state, cfg = _build_scene(args)
-    consts, uin = PhysicsConstants.default(), UserInput.none()
+    uin = UserInput.none()
+    if args.path == "lattice":
+        from .models import lattice_to_simstate
+        from .ops.stencil import lattice_frame_jit
+
+        lstate, spec, cfg, consts = _build_lattice_scene(args)
+
+        def advance(s):
+            return lattice_frame_jit(s, consts, uin, spec, cfg)
+
+        def renderable(s):
+            return lattice_to_simstate(s, build_incidence=False)
+
+        state = lstate
+    else:
+        state, cfg = _build_scene(args)
+        consts = PhysicsConstants.default()
+
+        def advance(s):
+            return frame_jit(s, consts, uin, cfg)
+
+        def renderable(s):
+            return s
+
     os.makedirs(args.out, exist_ok=True)
     prev = None
     written = 0
     for f in range(args.frames):
-        state = frame_jit(state, consts, uin, cfg)
+        state = advance(state)
         if f % args.every == 0:
-            img = render_state(state, cfg, resolution=args.resolution,
+            img = render_state(renderable(state), cfg,
+                               resolution=args.resolution,
                                prev_frame=prev if args.trails else None)
             prev = img
             path = os.path.join(args.out, f"frame_{f:05d}.png")

@@ -1,0 +1,207 @@
+"""Engine state backends: the worker's frame loop is backend-agnostic —
+a backend owns stepping, render extraction, snapshot IO, fault injection
+and stats for one state representation.
+
+- :class:`SimBackend` — the general gather-path :class:`SimState`
+  (arbitrary topology; editor scenes, blobs, reference default world).
+- :class:`LatticeBackend` — the dense stencil engine
+  (:class:`LatticeState`); snapshots use the L1 lattice format
+  (snapshot.py) and also export reference-compatible v0/v1 bytes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PhysicsConstants, StaticConfig, UserInput
+from ..ops.step import frame as _frame
+from ..snapshot import SnapshotError, load_snapshot, save_snapshot
+from ..state import SimState
+
+
+@functools.partial(jax.jit, donate_argnames=("state",), static_argnames=("cfg",))
+def _sim_step(state, consts, uin, cfg):
+    return _frame(state, consts, uin, cfg)
+
+
+@jax.jit
+def _sim_extract(state: SimState):
+    return tuple(
+        jnp.copy(x)
+        for x in (
+            state.pos, state.particle_alive, state.beam_a, state.beam_b,
+            state.beam_alive, state.beam_strain, state.beam_stress,
+        )
+    )
+
+
+class SimBackend:
+    def __init__(self, cfg: StaticConfig,
+                 max_particles: Optional[int] = None,
+                 max_beams: Optional[int] = None) -> None:
+        self.cfg = cfg
+        self.max_particles = max_particles
+        self.max_beams = max_beams
+
+    def step(self, state, consts, uin):
+        return _sim_step(state, consts, uin, self.cfg)
+
+    def extract(self, state):
+        return _sim_extract(state)
+
+    def packet_arrays(self, extracted):
+        return tuple(np.asarray(x) for x in extracted)
+
+    def save(self, state, consts) -> bytes:
+        return save_snapshot(state, consts)
+
+    def load(self, buf: bytes):
+        try:
+            return load_snapshot(
+                buf, max_particles=self.max_particles, max_beams=self.max_beams
+            )
+        except SnapshotError:
+            return None
+
+    def counts(self, state) -> Tuple[int, int]:
+        return (
+            int(np.asarray(state.particle_alive).sum()),
+            int(np.asarray(state.beam_alive).sum()),
+        )
+
+    def corrupt(self, state, rng: np.random.Generator):
+        upd = {}
+        for f in ("pos", "vel", "acc", "beam_length", "beam_target_length",
+                  "beam_last_length", "beam_spring", "beam_damp",
+                  "beam_yield_strain", "beam_strain_limit"):
+            upd[f] = _corrupt_array(getattr(state, f), rng)
+        if rng.random() < 0.1:
+            upd["particle_alive"] = _corrupt_array(state.particle_alive, rng)
+            upd["beam_alive"] = _corrupt_array(state.beam_alive, rng)
+        return dataclasses.replace(state, **upd)
+
+
+def _corrupt_array(arr, rng: np.random.Generator):
+    """Random u32 bit patterns at random offsets (≙ engineWorker.ts:599-617)."""
+    host = np.asarray(arr).copy()
+    flat = host.reshape(-1)
+    view = flat.view(np.uint32) if flat.dtype.itemsize == 4 else None
+    while rng.random() < 0.5:
+        pos = rng.integers(0, flat.size)
+        if view is not None:
+            view[pos] = rng.integers(0, 2**32, dtype=np.uint64)
+        elif flat.dtype == bool:
+            flat[pos] = bool(rng.integers(0, 2))
+    return jnp.asarray(host)
+
+
+class LatticeBackend:
+    """Dense stencil engine backend."""
+
+    def __init__(self, spec, cfg: StaticConfig) -> None:
+        from ..ops.stencil import lattice_frame_jit
+
+        self.spec = spec
+        self.cfg = cfg
+        self._frame = lattice_frame_jit
+        self._static_topology = None  # (beam_a, beam_b, class slices) cache
+
+    def step(self, state, consts, uin):
+        return self._frame(state, consts, uin, self.spec, self.cfg)
+
+    def extract(self, state):
+        from ..ops.stencil import EDGE_OFFSETS
+
+        w, h = self.spec.width, self.spec.height
+        pos = jnp.copy(state.pos.reshape(w * h, 2))
+        alive = jnp.copy(state.alive.reshape(w * h))
+        strains = tuple(jnp.copy(e.strain.reshape(w * h)) for e in state.edges)
+        stresses = tuple(jnp.copy(e.stress.reshape(w * h)) for e in state.edges)
+        ealive = tuple(jnp.copy(e.alive.reshape(w * h)) for e in state.edges)
+        return (pos, alive) + strains + stresses + ealive
+
+    def _topology(self):
+        if self._static_topology is None:
+            from ..ops.stencil import EDGE_OFFSETS
+
+            w, h = self.spec.width, self.spec.height
+            x = np.arange(w)[:, None]
+            y = np.arange(h)[None, :]
+            lin = (x * h + y)
+            a_list, b_list, sel_list = [], [], []
+            for dx, dy in EDGE_OFFSETS:
+                valid = ((x + dx >= 0) & (x + dx < w)
+                         & (y + dy >= 0) & (y + dy < h))
+                sel = valid.reshape(-1)
+                a = lin.reshape(-1)[sel]
+                a_list.append(a)
+                b_list.append(a + dx * h + dy)
+                sel_list.append(sel)
+            self._static_topology = (a_list, b_list, sel_list)
+        return self._static_topology
+
+    def packet_arrays(self, extracted):
+        pos, alive = np.asarray(extracted[0]), np.asarray(extracted[1])
+        n_cls = 4
+        strains = [np.asarray(x) for x in extracted[2 : 2 + n_cls]]
+        stresses = [np.asarray(x) for x in extracted[2 + n_cls : 2 + 2 * n_cls]]
+        ealive = [np.asarray(x) for x in extracted[2 + 2 * n_cls :]]
+        a_list, b_list, sel_list = self._topology()
+        beam_a = np.concatenate(a_list).astype(np.int32)
+        beam_b = np.concatenate(b_list).astype(np.int32)
+        beam_alive = np.concatenate(
+            [ea[sel] for ea, sel in zip(ealive, sel_list)]
+        )
+        beam_strain = np.concatenate(
+            [s[sel] for s, sel in zip(strains, sel_list)]
+        )
+        beam_stress = np.concatenate(
+            [s[sel] for s, sel in zip(stresses, sel_list)]
+        )
+        return (pos, alive, beam_a, beam_b, beam_alive, beam_strain, beam_stress)
+
+    def save(self, state, consts) -> bytes:
+        from ..snapshot import save_lattice_snapshot
+
+        return save_lattice_snapshot(state, consts)
+
+    def load(self, buf: bytes):
+        from ..snapshot import load_lattice_snapshot
+
+        try:
+            state, consts = load_lattice_snapshot(buf)
+        except SnapshotError:
+            return None
+        if (state.pos.shape[0], state.pos.shape[1]) != (
+            self.spec.width, self.spec.height
+        ):
+            return None
+        return state, consts
+
+    def counts(self, state) -> Tuple[int, int]:
+        n = int(np.asarray(state.alive).sum())
+        m = sum(int(np.asarray(e.alive).sum()) for e in state.edges)
+        return n, m
+
+    def corrupt(self, state, rng: np.random.Generator):
+        upd = {
+            "pos": _corrupt_array(state.pos, rng),
+            "vel": _corrupt_array(state.vel, rng),
+            "acc": _corrupt_array(state.acc, rng),
+        }
+        edges = tuple(
+            dataclasses.replace(
+                e,
+                target_length=_corrupt_array(e.target_length, rng),
+                last_length=_corrupt_array(e.last_length, rng),
+            )
+            for e in state.edges
+        )
+        return dataclasses.replace(state, edges=edges, **upd)

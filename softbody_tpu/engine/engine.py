@@ -157,3 +157,40 @@ class Engine:
 
     def __exit__(self, *exc) -> None:
         self.destroy()
+
+
+class LatticeEngine(Engine):
+    """Engine running the dense stencil backend (lattice scenes) — same
+    protocol surface; snapshots use the L1 lattice format."""
+
+    def __init__(
+        self,
+        state,
+        spec,
+        consts: Optional[PhysicsConstants] = None,
+        options: Optional[EngineOptions] = None,
+    ) -> None:
+        from ..config import StaticConfig
+        from .backends import LatticeBackend
+
+        self.options = options or EngineOptions()
+        cfg = StaticConfig(
+            bounds_size=self.options.bounds_size,
+            particle_radius=self.options.particle_radius,
+            subticks=self.options.subticks,
+            collision_mode=self.options.collision_mode,
+            force_mode=self.options.force_mode,
+            use_pallas=self.options.use_pallas,
+        )
+        backend = LatticeBackend(spec, cfg)
+        self._worker = EngineWorker(state, consts, self.options, backend=backend)
+        self._destroyed = False
+        self.keyboard_force = 1.0
+        self.user_strength = 1.0
+        self._held_keys = set()
+        import numpy as _np
+
+        self._mouse_pos = _np.zeros(2, _np.float32)
+        self._mouse_active = False
+        self._last_input_send = 0.0
+        self._input_throttle_s = 0.010

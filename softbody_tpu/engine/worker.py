@@ -67,37 +67,15 @@ class EngineStats:
     beam_count: int
 
 
-@functools.partial(jax.jit, donate_argnames=("state",), static_argnames=("cfg",))
-def _step_frame(state, consts, uin, cfg):
-    return _frame_fn(state, consts, uin, cfg)
-
-
-@jax.jit
-def _extract_render(state: SimState):
-    # Fresh (non-aliased) copies: the next _step_frame call donates the
-    # state's buffers, so the packet must own distinct memory.
-    return tuple(
-        jnp.copy(x)
-        for x in (
-            state.pos,
-            state.particle_alive,
-            state.beam_a,
-            state.beam_b,
-            state.beam_alive,
-            state.beam_strain,
-            state.beam_stress,
-        )
-    )
-
-
 class EngineWorker:
     """Background engine thread. Use through :class:`..engine.Engine`."""
 
     def __init__(
         self,
-        state: SimState,
+        state,
         consts: Optional[PhysicsConstants] = None,
         options: Optional[EngineOptions] = None,
+        backend=None,
     ) -> None:
         opts = options or EngineOptions()
         self.options = opts
@@ -110,6 +88,15 @@ class EngineWorker:
             grid_cell_capacity=opts.grid_cell_capacity,
             use_pallas=opts.use_pallas,
         )
+        if backend is None:
+            from .backends import SimBackend
+
+            backend = SimBackend(
+                self.cfg,
+                max_particles=opts.max_particles,
+                max_beams=opts.max_beams,
+            )
+        self.backend = backend
         self._state = state
         self._consts = consts or PhysicsConstants.default()
         self._uin_host = {
@@ -195,18 +182,14 @@ class EngineWorker:
             msg.respond()
         elif t == MessageType.SNAPSHOT_SAVE:
             with self._lock:
-                buf = save_snapshot(self._state, self._consts)
+                buf = self.backend.save(self._state, self._consts)
             msg.respond(buf)
         elif t == MessageType.SNAPSHOT_LOAD:
-            try:
-                state, consts = load_snapshot(
-                    msg.data,
-                    max_particles=self.options.max_particles,
-                    max_beams=self.options.max_beams,
-                )
-            except SnapshotError:
+            loaded = self.backend.load(msg.data)
+            if loaded is None:
                 msg.respond(False)
                 return
+            state, consts = loaded
             with self._lock:
                 self._state = state
                 self._consts = consts
@@ -243,12 +226,12 @@ class EngineWorker:
                 mouse_vel=jnp.asarray(mouse_vel.astype(np.float32)),
                 applied_force=jnp.asarray(self._uin_host["applied_force"]),
             )
-            new_state = _step_frame(self._state, self._consts, uin, self.cfg)
+            new_state = self.backend.step(self._state, self._consts, uin)
             self._state = new_state
             self._frame_index += 1
             # decoupled render source: snapshot device refs (cheap copies)
             with self._packet_lock:
-                self._render_src = _extract_render(new_state)
+                self._render_src = self.backend.extract(new_state)
                 self._render_frame = self._frame_index
         self._frame_times.append(now)
         cutoff = now - 1.0
@@ -260,13 +243,12 @@ class EngineWorker:
             src, idx = self._render_src, self._render_frame
         if src is None:
             return None
-        pos, p_alive, ba, bb, b_alive, strain, stress = [np.asarray(x) for x in src]
+        pos, p_alive, ba, bb, b_alive, strain, stress = self.backend.packet_arrays(src)
         return RenderPacket(pos, p_alive, ba, bb, b_alive, strain, stress, idx)
 
     def _stats(self) -> EngineStats:
         fps = self.fps
-        n = int(np.asarray(self._state.particle_alive).sum())
-        m = int(np.asarray(self._state.beam_alive).sum())
+        n, m = self.backend.counts(self._state)
         return EngineStats(
             fps=fps,
             substeps_per_sec=fps * self.cfg.subticks,
@@ -283,30 +265,7 @@ class EngineWorker:
     # ---- fault injection (≙ corruptBuffers, engineWorker.ts:599-617) ----
 
     def _corrupt(self) -> None:
-        rng = np.random.default_rng()
-        state = self._state
-
-        def corrupt_array(arr: jnp.ndarray) -> jnp.ndarray:
-            host = np.asarray(arr).copy()
-            flat = host.reshape(-1)
-            view = flat.view(np.uint32) if flat.dtype.itemsize == 4 else None
-            while rng.random() < 0.5:
-                pos = rng.integers(0, flat.size)
-                if view is not None:
-                    view[pos] = rng.integers(0, 2**32, dtype=np.uint64)
-                elif flat.dtype == bool:
-                    flat[pos] = bool(rng.integers(0, 2))
-            return jnp.asarray(host)
-
-        upd = {}
-        for f in ("pos", "vel", "acc", "beam_length", "beam_target_length",
-                  "beam_last_length", "beam_spring", "beam_damp",
-                  "beam_yield_strain", "beam_strain_limit"):
-            upd[f] = corrupt_array(getattr(state, f))
-        if rng.random() < 0.1:  # ≙ the rare metadata corruption
-            upd["particle_alive"] = corrupt_array(state.particle_alive)
-            upd["beam_alive"] = corrupt_array(state.beam_alive)
-        self._state = dataclasses.replace(state, **upd)
+        self._state = self.backend.corrupt(self._state, np.random.default_rng())
 
     # ---- host-side entry ----
 

@@ -191,6 +191,10 @@ def load_snapshot(
     capacity — the analog of the reference returning ``false``
     (engineMapping.ts:418) and surfacing an alert (main.ts:79-83).
     """
+    if buf[:4] == _L1_MAGIC:
+        raise SnapshotError(
+            "lattice (L1) snapshot — use load_lattice_snapshot"
+        )
     if buf[:4] == _V1_MAGIC:
         parsed = _load_v1(buf)
     else:
@@ -280,6 +284,78 @@ def _load_v0(buf: bytes):
     beams["a"] = idx_a
     beams["b"] = idx_b
     return particles, beams, consts8
+
+
+_L1_MAGIC = b"SBL1"
+
+
+def save_lattice_snapshot(state, consts: PhysicsConstants) -> bytes:
+    """Serialize a dense LatticeState (L1 format): magic, W, H, particle
+    planes, then 4 edge classes × 10 field planes."""
+    import io as _io
+
+    w, h = state.pos.shape[0], state.pos.shape[1]
+    out = _io.BytesIO()
+    out.write(_L1_MAGIC)
+    out.write(struct.pack("<II", w, h))
+    out.write(_consts_array(consts).tobytes())
+    for arr in (state.pos, state.vel, state.acc):
+        out.write(np.asarray(arr, np.float32).tobytes())
+    out.write(np.asarray(state.alive, bool).astype(np.uint8).tobytes())
+    out.write(np.asarray(state.pinned, bool).astype(np.uint8).tobytes())
+    for e in state.edges:
+        for f in ("length", "target_length", "last_length", "spring", "damp",
+                  "yield_strain", "strain_limit", "strain", "stress"):
+            out.write(np.asarray(getattr(e, f), np.float32).tobytes())
+        out.write(np.asarray(e.alive, bool).astype(np.uint8).tobytes())
+    return out.getvalue()
+
+
+def load_lattice_snapshot(buf: bytes):
+    """Deserialize an L1 lattice snapshot → (LatticeState, PhysicsConstants)."""
+    import jax.numpy as jnp
+
+    from .ops.stencil import EDGE_OFFSETS, EdgeClass, LatticeState
+
+    if buf[:4] != _L1_MAGIC:
+        raise SnapshotError("not an L1 lattice snapshot")
+    w, h = struct.unpack("<II", buf[4:12])
+    off = 12
+    consts8 = np.frombuffer(buf, np.float32, 8, off).copy()
+    off += 32
+    n = w * h
+
+    def f32_plane(shape):
+        nonlocal off
+        count = int(np.prod(shape))
+        arr = np.frombuffer(buf, np.float32, count, off).reshape(shape).copy()
+        off += 4 * count
+        return jnp.asarray(arr)
+
+    def bool_plane():
+        nonlocal off
+        arr = np.frombuffer(buf, np.uint8, n, off).reshape(w, h).astype(bool)
+        off += n
+        return jnp.asarray(arr)
+
+    pos = f32_plane((w, h, 2))
+    vel = f32_plane((w, h, 2))
+    acc = f32_plane((w, h, 2))
+    alive = bool_plane()
+    pinned = bool_plane()
+    edges = []
+    for _ in EDGE_OFFSETS:
+        fields = {
+            f: f32_plane((w, h))
+            for f in ("length", "target_length", "last_length", "spring",
+                      "damp", "yield_strain", "strain_limit", "strain",
+                      "stress")
+        }
+        fields["alive"] = bool_plane()
+        edges.append(EdgeClass(**fields))
+    state = LatticeState(pos=pos, vel=vel, acc=acc, alive=alive,
+                         pinned=pinned, edges=tuple(edges))
+    return state, PhysicsConstants.from_array(consts8)
 
 
 def _load_v1(buf: bytes):

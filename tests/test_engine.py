@@ -144,3 +144,37 @@ def test_fifo_lock_ordering():
     for t in threads:
         t.join()
     assert order == [0, 1, 2, 3, 4]
+
+
+def test_lattice_engine_backend():
+    """Engine running the dense stencil backend: steps, packets with
+    static topology, L1 snapshot round-trip, input."""
+    from softbody_tpu.engine import LatticeEngine
+    from softbody_tpu.models import cloth_lattice
+
+    ls, spec, cfg = cloth_lattice(w=8, h=8, spacing=20.0, pin_top=True,
+                                  spring=5.0)  # stable at dt=1/8
+    opts = EngineOptions(subticks=8, particle_radius=cfg.particle_radius,
+                         target_fps=None)
+    with LatticeEngine(ls, spec, options=opts) as eng:
+        st = wait_frames(eng, 5)
+        assert st.particle_count == 64
+        assert st.beam_count > 150
+        pkt = eng.render_packet()
+        assert pkt.pos.shape == (64, 2)
+        assert pkt.beam_a.shape == pkt.beam_alive.shape
+        assert np.isfinite(pkt.pos).all()
+        buf = eng.save_snapshot()
+        assert buf[:4] == b"SBL1"
+        assert eng.load_snapshot(buf)
+        # general-format snapshot must be rejected, not crash
+        from softbody_tpu.snapshot import save_snapshot
+        from softbody_tpu import state_from_numpy
+        other = save_snapshot(
+            state_from_numpy(np.array([[1.0, 2.0]], np.float32)),
+            PhysicsConstants.default(),
+        )
+        assert eng.load_snapshot(other) is False
+        eng.corrupt_buffers()
+        wait_frames(eng, eng.stats().frame_index + 2)
+        assert eng.error is None
