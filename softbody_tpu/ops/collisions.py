@@ -180,8 +180,10 @@ def build_grid(pos, alive, cfg: StaticConfig):
     cid = jnp.where(alive, cx * g + cy, jnp.int32(ncells))  # dead → pad cell
     order = jnp.argsort(cid).astype(jnp.int32)
     sorted_cid = cid[order]
+    # method='sort' turns the dense-query binary search into one extra
+    # sort — ~10x faster than the gather-heavy 'scan' method on TPU
     starts = jnp.searchsorted(
-        sorted_cid, jnp.arange(ncells + 2, dtype=jnp.int32)
+        sorted_cid, jnp.arange(ncells + 2, dtype=jnp.int32), method="sort"
     ).astype(jnp.int32)
     counts = starts[1:-1] - starts[:-2]
     overflow = jnp.sum(jnp.maximum(counts - k, 0))
@@ -207,18 +209,40 @@ def _grid(pos, vel, alive, consts, cfg, query):
     in_range = (nx >= 0) & (nx < g) & (ny >= 0) & (ny < g)
     ncell_idx = jnp.where(in_range, nx * g + ny, ncells)  # empty pad cell
 
-    # lazy bucket: candidate slot k of neighbor cell c = order[starts[c]+k]
+    # Packed candidate rows: TPU gather cost is per ROW (~90 M rows/s)
+    # and nearly free in row width, so everything a pair needs —
+    # pos, vel, alive, original index — travels in ONE [N, 8] gather
+    # from the cell-sorted table instead of four separate gathers.
+    table = jnp.concatenate(
+        [
+            pos,
+            vel,
+            alive.astype(jnp.float32)[:, None],
+            jnp.arange(n, dtype=jnp.float32)[:, None],
+            jnp.zeros((n, 2), jnp.float32),
+        ],
+        axis=1,
+    )
+    table_sorted = table[order]  # one N-row gather
+
+    # candidate slot k of neighbor cell c lives at sorted position
+    # starts[c] + k
     c_start = starts[ncell_idx]  # [Q, 9]
     c_count = jnp.minimum(starts[ncell_idx + 1] - c_start, k)
     slot = jnp.arange(k, dtype=jnp.int32)
     cand_pos = c_start[..., None] + slot[None, None, :]  # [Q, 9, K]
     in_cell = slot[None, None, :] < c_count[..., None]
-    cand = order[jnp.clip(cand_pos, 0, n - 1)].reshape(q, 9 * k)
-    valid = in_cell.reshape(q, 9 * k)
-    valid = valid & (cand != idx_q[:, None]) & alive_q[:, None]
-    safe = jnp.clip(cand, 0, n - 1)
-    valid = valid & alive[safe]
-    p_j = pos[safe]
-    v_j = vel[safe]
-    dv, da, dy = _pair_terms(pos_q, vel_q, p_j, v_j, valid, consts, cfg, idx_q, safe)
+    rows = table_sorted[jnp.clip(cand_pos.reshape(q, 9 * k), 0, n - 1)]
+    p_j = rows[..., 0:2]
+    v_j = rows[..., 2:4]
+    cand_idx = rows[..., 5].astype(jnp.int32)
+    valid = (
+        in_cell.reshape(q, 9 * k)
+        & (rows[..., 4] > 0.0)
+        & (cand_idx != idx_q[:, None])
+        & alive_q[:, None]
+    )
+    dv, da, dy = _pair_terms(
+        pos_q, vel_q, p_j, v_j, valid, consts, cfg, idx_q, cand_idx
+    )
     return dv.sum(1), da.sum(1), dy.sum(1)
