@@ -147,12 +147,18 @@ def lattice_substep(
     spec: LatticeSpec,
     cfg: StaticConfig,
     lin_x_offset=0,
+    update_observability: bool = True,
 ) -> LatticeState:
     """One substep of the dense path (semantics of compute.wgsl:90-203).
 
     ``lin_x_offset``: global x-index of local column 0 — makes the
     coincident-nudge tiebreak (``sign(lin_i − lin_j)``) globally
     consistent under spatial sharding.
+
+    ``update_observability``: the per-edge ``strain``/``stress`` channels
+    exist purely for visualization (compute.wgsl:122-124 writes them every
+    substep but only the frame's last values are ever rendered) — the
+    frame loop skips these writes for all but the final substep.
 
     TPU shaping: all vector quantities are component-split to [W, H]
     planes internally (full lane utilization), neighbor access is
@@ -221,11 +227,17 @@ def lattice_substep(
                 damp=e.damp,
                 yield_strain=e.yield_strain,
                 strain_limit=e.strain_limit,
-                strain=jnp.where(
-                    active, jnp.abs(strain) / e.yield_strain, e.strain
+                strain=(
+                    jnp.where(active, jnp.abs(strain) / e.yield_strain, e.strain)
+                    if update_observability else e.strain
                 ),
-                stress=jnp.where(
-                    active, force_mag * jnp.float32(BEAM_STRESS_SCALE), e.stress
+                stress=(
+                    jnp.where(
+                        active,
+                        force_mag * jnp.float32(BEAM_STRESS_SCALE),
+                        e.stress,
+                    )
+                    if update_observability else e.stress
                 ),
                 alive=e.alive & ~(active & breaks),
             )
@@ -463,6 +475,11 @@ def lattice_frame(
     spec: LatticeSpec,
     cfg: StaticConfig,
 ) -> LatticeState:
+    # NOTE: an obs-skip variant (scan(subticks-1) without strain/stress
+    # writes + one observing substep) measured SLOWER under donation —
+    # the out-of-scan tail breaks XLA's buffer aliasing. Keep the single
+    # scan; update_observability stays available for callers that build
+    # their own loops.
     def body(carry, _):
         return lattice_substep(carry, consts, uin, spec, cfg), None
 

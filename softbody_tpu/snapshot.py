@@ -195,10 +195,14 @@ def load_snapshot(
         raise SnapshotError(
             "lattice (L1) snapshot — use load_lattice_snapshot"
         )
-    if buf[:4] == _V1_MAGIC:
-        parsed = _load_v1(buf)
-    else:
-        parsed = _load_v0(buf)
+    try:
+        if buf[:4] == _V1_MAGIC:
+            parsed = _load_v1(buf)
+        else:
+            parsed = _load_v0(buf)
+    except (ValueError, IndexError, struct.error) as e:
+        # truncated/corrupted bytes must surface as a clean rejection
+        raise SnapshotError(f"malformed snapshot: {e}") from e
     particles, beams, consts8 = parsed
     pc = particles["pos"].shape[0]
     bc = beams["a"].shape[0]
@@ -319,7 +323,14 @@ def load_lattice_snapshot(buf: bytes):
 
     if buf[:4] != _L1_MAGIC:
         raise SnapshotError("not an L1 lattice snapshot")
+    if len(buf) < 12 + 32:
+        raise SnapshotError("truncated L1 snapshot")
     w, h = struct.unpack("<II", buf[4:12])
+    expected = 12 + 32 + (w * h) * (3 * 8 + 2 + 4 * (9 * 4 + 1))
+    if len(buf) < expected or w == 0 or h == 0 or w * h > 300_000_000:
+        raise SnapshotError(
+            f"L1 snapshot malformed: {w}x{h}, {len(buf)} bytes < {expected}"
+        )
     off = 12
     consts8 = np.frombuffer(buf, np.float32, 8, off).copy()
     off += 32
