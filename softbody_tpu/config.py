@@ -150,6 +150,62 @@ class PhysicsConstants:
         )
 
 
+# Input clamping ranges from the reference's clamped-input framework
+# (main.ts:92-133; createClampedInput calls at main.ts:120-132).
+CLAMP_RANGES = {
+    "particle_radius": (1.0, 500.0, 1.0),
+    "subticks": (2, 256, 2),
+    "keyboard_force": (0.1, 10.0, 0.1),
+    "gravity_x": (-10.0, 10.0, 0.02),
+    "gravity_y": (-10.0, 10.0, 0.02),
+    "border_elasticity": (0.0, 1.0, 0.01),
+    "border_friction": (0.0, 10.0, 0.01),
+    "elasticity": (0.0, 1.0, 0.01),
+    "friction": (0.0, 10.0, 0.01),
+    "drag_coeff": (0.0, 2.0**32, 0.001),
+    "drag_exp": (1.0, 4.0, 0.1),
+    # editor beam settings (main.ts:298-303)
+    "beam_spring": (0.0, 2000.0, 0.1),
+    "beam_damp": (0.0, 2000.0, 0.1),
+    "yield_strain": (0.0, 2000.0, 0.1),
+    "strain_limit": (0.0, 2000.0, 0.1),
+    "triangulation_distance": (0.0, 1000.0, 10.0),
+    "snap_grid_size": (0.0, 100.0, 10.0),
+}
+
+
+def clamp_value(name: str, value: float) -> float:
+    """Clamp + snap a configuration value to the reference UI's range/step
+    (``updateClamps``, main.ts:93-106: round to step, then clamp)."""
+    lo, hi, step = CLAMP_RANGES[name]
+    import math
+
+    v = round(float(value) / step) * step
+    v = max(lo, min(hi, v))
+    if math.isnan(v):
+        v = 1.0  # main.ts:101: NaN → 1
+    return v
+
+
+def clamp_constants(consts: "PhysicsConstants") -> "PhysicsConstants":
+    """Return a copy with every field clamped to the reference UI ranges."""
+    import numpy as np
+
+    g = np.asarray(consts.gravity)
+    return PhysicsConstants(
+        gravity=_f32([clamp_value("gravity_x", float(g[0])),
+                      clamp_value("gravity_y", float(g[1]))]),
+        border_elasticity=_f32(clamp_value("border_elasticity",
+                                           float(consts.border_elasticity))),
+        border_friction=_f32(clamp_value("border_friction",
+                                         float(consts.border_friction))),
+        elasticity=_f32(clamp_value("elasticity", float(consts.elasticity))),
+        friction=_f32(clamp_value("friction", float(consts.friction))),
+        drag_coeff=_f32(clamp_value("drag_coeff", float(consts.drag_coeff))),
+        drag_exp=_f32(clamp_value("drag_exp", float(consts.drag_exp))),
+    )
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class UserInput:

@@ -63,6 +63,21 @@ class Engine:
     def load_snapshot(self, buf: bytes) -> bool:
         return bool(self._worker.post_with_ack(MessageType.SNAPSHOT_LOAD, buf))
 
+    # ---- initial-state slot (≙ main.ts:262-276, 347-362) ----
+
+    _initial_state: Optional[bytes] = None
+
+    def set_initial_state(self, buf: Optional[bytes] = None) -> None:
+        """Capture the reset slot (≙ 'Set initial state' button): current
+        sim state by default, or explicit snapshot bytes."""
+        self._initial_state = buf if buf is not None else self.save_snapshot()
+
+    def reset(self) -> bool:
+        """Reload the initial-state slot (≙ resetToInitial, main.ts:347)."""
+        if self._initial_state is None:
+            return False
+        return self.load_snapshot(self._initial_state)
+
     # ---- fault injection (engine.ts:201-203) ----
 
     def corrupt_buffers(self) -> None:

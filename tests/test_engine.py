@@ -178,3 +178,37 @@ def test_lattice_engine_backend():
         eng.corrupt_buffers()
         wait_frames(eng, eng.stats().frame_index + 2)
         assert eng.error is None
+
+
+def test_initial_state_reset_slot():
+    """≙ the reference's reset/set-initial-state buttons (main.ts:262-276)."""
+    with small_engine() as eng:
+        wait_frames(eng, 2)
+        eng.set_initial_state()
+        pkt0 = eng.render_packet()
+        wait_frames(eng, pkt0.frame_index + 10)
+        pkt1 = eng.render_packet()
+        assert not np.allclose(pkt0.pos, pkt1.pos)  # world moved on
+        assert eng.reset()
+        pkt2 = eng.render_packet()
+        # freshly reloaded world is (close to) the captured slot; give the
+        # loop a frame or two of slack
+        assert np.abs(pkt2.pos - pkt0.pos).max() < np.abs(pkt1.pos - pkt0.pos).max()
+
+
+def test_constants_clamping():
+    from softbody_tpu.config import clamp_constants, clamp_value
+
+    c = PhysicsConstants.default()
+    c.gravity = jnp.asarray([99.0, -99.0], jnp.float32)
+    c.elasticity = jnp.float32(7.0)
+    c.drag_exp = jnp.float32(0.0)
+    cc = clamp_constants(c)
+    assert float(cc.gravity[0]) == 10.0
+    assert float(cc.gravity[1]) == -10.0
+    assert float(cc.elasticity) == 1.0
+    assert float(cc.drag_exp) == 1.0
+    # step snapping (subticks step=2, main.ts:121)
+    assert clamp_value("subticks", 63) == 64
+    assert clamp_value("subticks", 1) == 2
+    assert clamp_value("particle_radius", 1234.0) == 500.0
