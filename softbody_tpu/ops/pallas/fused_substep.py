@@ -1,0 +1,501 @@
+"""Pallas TPU kernel: fully fused lattice substep.
+
+One kernel computes the entire physics substep — spring forces with
+plasticity/breakage for all four edge classes, the collision stencil, and
+semi-implicit Euler integration with border handling — for a slab of the
+lattice, straight out of VMEM.  The XLA stencil path streams ~15 full
+HBM passes per substep (shifted copies, int accumulators, where-masks);
+this kernel reads the state once and writes the mutable planes once.
+
+Data layout: the 48 [W, H] planes are kept **persistently stacked and
+padded** in two HBM tensors so the per-substep kernel does exactly three
+DMAs per slab (mutable in, immutable in, mutable out):
+
+- ``mut  [26, Wp, Hp]``: px py vx vy ax ay + 4 × (target last strain
+  stress ealive)
+- ``immut [22, Wp, Hp]``: alive pinned + 4 × (spring damp yield limit
+  length)
+
+padded by ``(PAD_W, PAD_H) = (8, 128)`` — one native (sublane, lane)
+tile, so every DMA window is aligned.  The grid is 1-D over W slabs
+(each slab spans the full H).  The scan ping-pongs mut buffers (read ≠
+write — the functional form of the reference's particlesA/B double
+buffering, engineWorker.ts:243).  Halo regions of fresh outputs are never
+written: particle ``alive`` lives in the *immutable* stack whose halo
+stays 0, masking halo garbage (all selects are ``jnp.where`` so NaN bit
+patterns cannot leak through arithmetic).
+
+Physics semantics are identical to ops/stencil.py (and therefore to the
+reference kernel, compute.wgsl:90-203); parity is tested in interpret
+mode against the XLA substep.
+
+Measured on v5e @ 1M particles: ~496 substeps/s — parity with the XLA
+stencil path (~500-530 depending on machine state), not yet a win: the
+three per-slab DMAs (~49 MB) run serialized with compute, and the ±1/±2
+lane-dimension shifted reads each cost a lane rotation.  Known follow-ups:
+double-buffer the slab DMAs against compute, and restructure the H axis
+so collision shifts land on the sublane dimension.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import (
+    BEAM_STRESS_SCALE,
+    PARTICLE_FORCE_SCALE,
+    PhysicsConstants,
+    StaticConfig,
+    UserInput,
+)
+
+PAD_W = 8
+PAD_H = 128
+
+# mut plane indices
+PX, PY, VX, VY, AX, AY = range(6)
+TGT, LST, STR, STS, EAL = range(5)  # + 6 + c*5
+N_MUT = 26
+# immut plane indices
+ALIVE, PINNED = 0, 1
+SPR, DMP, YLD, LIM, LEN = range(5)  # + 2 + c*5
+N_IMMUT = 22
+
+EDGE_OFFSETS = ((0, 1), (1, 0), (1, 1), (1, -1))
+
+# consts vector layout (scalar prefetch; all f32)
+(C_RADIUS, C_DT, C_BOUNDS, C_GX, C_GY, C_BE, C_BF, C_ECOEFF, C_FRICTION,
+ C_DRAGC, C_DRAGE, C_USTR, C_MACT, C_MX, C_MY, C_MVX, C_MVY, C_AFX, C_AFY,
+ C_WORLD_H) = range(20)
+N_CONSTS = 20
+
+
+def _kernel(consts, mut_ref, immut_ref, out_ref, mscr, iscr, oscr, sems,
+            *, tile_w: int, world_h: int, stencil: int, quantized: bool):
+    i = pl.program_id(0)
+    bw = tile_w + 2 * PAD_W
+    bh = world_h + 2 * PAD_H
+    th = world_h
+
+    cp_m = pltpu.make_async_copy(
+        mut_ref.at[:, pl.ds(i * tile_w, bw), :], mscr, sems.at[0]
+    )
+    cp_i = pltpu.make_async_copy(
+        immut_ref.at[:, pl.ds(i * tile_w, bw), :], iscr, sems.at[1]
+    )
+    cp_m.start()
+    cp_i.start()
+    cp_m.wait()
+    cp_i.wait()
+
+    radius = consts[C_RADIUS]
+    dt = consts[C_DT]
+    two_r = 2.0 * radius
+    inv_dt2 = 1.0 / (dt * dt)
+
+    # load block planes once
+    px_b = mscr[PX]
+    py_b = mscr[PY]
+    vx_b = mscr[VX]
+    vy_b = mscr[VY]
+    alive_b = iscr[ALIVE]
+
+    def ctr(plane):
+        return plane[PAD_W : PAD_W + tile_w, PAD_H : PAD_H + th]
+
+    def reg(plane, dx, dy, r):
+        return plane[
+            PAD_W - r + dx : PAD_W - r + dx + tile_w + 2 * r,
+            PAD_H - r + dy : PAD_H - r + dy + th + 2 * r,
+        ]
+
+    alive_c = ctr(alive_b) > 0.0
+    pinned_c = ctr(iscr[PINNED]) > 0.0
+
+    # ---------------- spring pass (r=1 region per class) ----------------
+    acc_t = jnp.int32 if quantized else jnp.float32
+    fx_c = jnp.zeros((tile_w, th), acc_t)
+    fy_c = jnp.zeros((tile_w, th), acc_t)
+    edge_updates = []
+
+    for c, (dx, dy) in enumerate(EDGE_OFFSETS):
+        mb = 6 + c * 5
+        ib = 2 + c * 5
+        ea_b = mscr[mb + EAL]
+        tgt_b = mscr[mb + TGT]
+        lst_b = mscr[mb + LST]
+
+        def r1(plane, sx=0, sy=0):
+            return reg(plane, sx, sy, 1)
+
+        active = (
+            (r1(ea_b) > 0.0)
+            & (r1(alive_b) > 0.0)
+            & (r1(alive_b, dx, dy) > 0.0)
+        )
+        ddx = r1(px_b, dx, dy) - r1(px_b)
+        ddy = r1(py_b, dx, dy) - r1(py_b)
+        raw = jnp.sqrt(ddx * ddx + ddy * ddy)
+        zero = raw == 0.0
+        ddx = jnp.where(zero, 0.0, ddx)
+        ddy = jnp.where(zero, jnp.float32(-1.0e-10), ddy)
+        ln = jnp.where(zero, jnp.float32(1.0e-10), raw)
+
+        e_tgt = r1(tgt_b)
+        e_lst = r1(lst_b)
+        e_spr = r1(iscr[ib + SPR])
+        e_dmp = r1(iscr[ib + DMP])
+        e_yld = r1(iscr[ib + YLD])
+        e_lim = r1(iscr[ib + LIM])
+        e_len = r1(iscr[ib + LEN])
+
+        fmag = (e_tgt - ln) * e_spr + (e_lst - ln) * e_dmp
+        inv_ln = 1.0 / ln
+        fvx = jnp.where(active, fmag * ddx * inv_ln, 0.0)
+        fvy = jnp.where(active, fmag * ddy * inv_ln, 0.0)
+        strain = (ln - e_tgt) / e_len
+        yielded = jnp.abs(strain) > e_yld
+        new_tgt = jnp.where(yielded, ln - e_yld * e_len * jnp.sign(strain), e_tgt)
+        breaks = jnp.abs(ln - e_len) > e_len * e_lim
+
+        def c1(arr):  # r=1 region → center tile
+            return arr[1 : 1 + tile_w, 1 : 1 + th]
+
+        edge_updates.append((
+            jnp.where(c1(active), c1(new_tgt), c1(e_tgt)),
+            jnp.where(c1(active), c1(ln), c1(e_lst)),
+            jnp.where(c1(active), jnp.abs(c1(strain)) / c1(e_yld),
+                      ctr(mscr[mb + STR])),
+            jnp.where(c1(active), c1(fmag) * jnp.float32(BEAM_STRESS_SCALE),
+                      ctr(mscr[mb + STS])),
+            jnp.where(c1(active) & c1(breaks), 0.0, ctr(ea_b)),
+        ))
+
+        if quantized:
+            fvx = jnp.trunc(fvx * jnp.float32(PARTICLE_FORCE_SCALE)).astype(
+                jnp.int32
+            )
+            fvy = jnp.trunc(fvy * jnp.float32(PARTICLE_FORCE_SCALE)).astype(
+                jnp.int32
+            )
+
+        def sl(arr, sx, sy):  # shifted center slice of an r=1 region array
+            return arr[1 + sx : 1 + sx + tile_w, 1 + sy : 1 + sy + th]
+
+        # lower endpoint: −f; partner at +offset receives +f
+        fx_c = fx_c - sl(fvx, 0, 0) + sl(fvx, -dx, -dy)
+        fy_c = fy_c - sl(fvy, 0, 0) + sl(fvy, -dx, -dy)
+
+    if quantized:
+        bfx = fx_c.astype(jnp.float32) / jnp.float32(PARTICLE_FORCE_SCALE)
+        bfy = fy_c.astype(jnp.float32) / jnp.float32(PARTICLE_FORCE_SCALE)
+    else:
+        bfx, bfy = fx_c, fy_c
+
+    # ---------------- collision stencil (r=s region, half offsets) ------
+    s = stencil
+    if s == 0:
+        z = jnp.zeros((tile_w, th), jnp.float32)
+        dvx = dvy = dax = day = dyn = z
+    else:
+        ecoeff = consts[C_ECOEFF]
+        friction = consts[C_FRICTION]
+        rw, rh = tile_w + 2 * s, th + 2 * s
+
+        c_px = reg(px_b, 0, 0, s)
+        c_py = reg(py_b, 0, 0, s)
+        c_vx = reg(vx_b, 0, 0, s)
+        c_vy = reg(vy_b, 0, 0, s)
+        c_al = reg(alive_b, 0, 0, s) > 0.0
+
+        acc = [jnp.zeros((rw, rh), jnp.float32) for _ in range(5)]
+        ctr_parts = [jnp.zeros((tile_w, th), jnp.float32) for _ in range(5)]
+
+        half_offsets = tuple(
+            (ox, oy)
+            for ox in range(0, s + 1)
+            for oy in range(-s, s + 1)
+            if (ox, oy) != (0, 0) and (ox > 0 or oy > 0)
+        )
+        for ox, oy in half_offsets:
+            o_al = reg(alive_b, ox, oy, s) > 0.0
+            valid = c_al & o_al
+            ddx = reg(px_b, ox, oy, s) - c_px
+            ddy = reg(py_b, ox, oy, s) - c_py
+            dist = jnp.sqrt(ddx * ddx + ddy * ddy)
+            coincident = valid & (dist == 0.0)
+            overlap = valid & (dist > 0.0) & (dist < two_r)
+            # linear-order tiebreak sign(lin_i - lin_j): for every
+            # half-plane offset, j = i + (ox*H + oy) > i, so the sign is
+            # the constant -1 (mirrored +1 lands on the partner)
+            co = jnp.where(coincident, jnp.float32(-1.0), 0.0)
+            inv = jnp.where(overlap, 1.0 / jnp.where(overlap, dist, 1.0), 0.0)
+            nx_ = ddx * inv
+            ny_ = ddy * inv
+            rvx = c_vx - reg(vx_b, ox, oy, s)
+            rvy = c_vy - reg(vy_b, ox, oy, s)
+            imp_n = ecoeff * (rvx * nx_ + rvy * ny_)
+            max_fric = imp_n * friction
+            imp_t = jnp.minimum(
+                jnp.maximum(rvx * -ny_ + rvy * nx_, -max_fric), max_fric
+            )
+            terms = (
+                jnp.where(overlap, -(imp_n * nx_ + imp_t * -ny_), 0.0),
+                jnp.where(overlap, -(imp_n * ny_ + imp_t * nx_), 0.0),
+                jnp.where(overlap, -nx_ * (two_r - dist) * 0.5 * inv_dt2, 0.0),
+                jnp.where(overlap, -ny_ * (two_r - dist) * 0.5 * inv_dt2, 0.0),
+                co,
+            )
+            for k in range(5):
+                acc[k] = acc[k] + terms[k]
+                # mirrored half at the partner position (exact negation)
+                ctr_parts[k] = ctr_parts[k] - terms[k][
+                    s - ox : s - ox + tile_w, s - oy : s - oy + th
+                ]
+
+        ctr_sl = (slice(s, s + tile_w), slice(s, s + th))
+        dvx = ctr_parts[0] + acc[0][ctr_sl]
+        dvy = ctr_parts[1] + acc[1][ctr_sl]
+        dax = ctr_parts[2] + acc[2][ctr_sl]
+        day = ctr_parts[3] + acc[3][ctr_sl]
+        dyn = ctr_parts[4] + acc[4][ctr_sl]
+
+    # ---------------- integration (center; ≙ compute.wgsl:171-199) ------
+    px = ctr(px_b)
+    py = ctr(py_b)
+    vx = ctr(vx_b)
+    vy = ctr(vy_b)
+    ax = ctr(mscr[AX])
+    ay = ctr(mscr[AY])
+
+    p_x = px
+    p_y = py + jnp.where(alive_c, dyn, 0.0)
+    v_x = vx + dvx
+    v_y = vy + dvy
+    a_x = ax + dax + consts[C_GX]
+    a_y = ay + day + consts[C_GY]
+
+    speed = jnp.sqrt(v_x * v_x + v_y * v_y)
+    moving = speed > 0.0
+    inv_speed = 1.0 / jnp.where(moving, speed, 1.0)
+    a_x = a_x - jnp.where(
+        moving,
+        consts[C_DRAGC] * jnp.abs(v_x) ** consts[C_DRAGE] * v_x * inv_speed,
+        0.0,
+    )
+    a_y = a_y - jnp.where(
+        moving,
+        consts[C_DRAGC] * jnp.abs(v_y) ** consts[C_DRAGE] * v_y * inv_speed,
+        0.0,
+    )
+    ustr = consts[C_USTR]
+    a_x = a_x + consts[C_AFX] * ustr
+    a_y = a_y + consts[C_AFY] * ustr
+    mdx = consts[C_MX] - p_x
+    mdy = consts[C_MY] - p_y
+    grabbed = (consts[C_MACT] > 0.0) & (
+        jnp.sqrt(mdx * mdx + mdy * mdy) < radius * 10.0
+    )
+    a_x = a_x + jnp.where(grabbed, (consts[C_MVX] - v_x) * ustr - consts[C_GX], 0.0)
+    a_y = a_y + jnp.where(grabbed, (consts[C_MVY] - v_y) * ustr - consts[C_GY], 0.0)
+    a_x = a_x + bfx
+    a_y = a_y + bfy
+
+    v_x = v_x + a_x * dt
+    v_y = v_y + a_y * dt
+    p_x = p_x + v_x * dt
+    p_y = p_y + v_y * dt
+
+    lo = radius
+    hi = consts[C_BOUNDS] - radius
+    cx_ = jnp.clip(p_x, lo, hi)
+    cy_ = jnp.clip(p_y, lo, hi)
+    hit_x = p_x != cx_
+    hit_y = p_y != cy_
+    be = consts[C_BE]
+    bf = consts[C_BF]
+    fric_y = jnp.sign(v_y) * bf * jnp.abs(v_x) * (1.0 + be)
+    na_y = jnp.where(hit_x, 0.0 - jnp.minimum(0.0, fric_y), 0.0)
+    nv_x = jnp.where(hit_x, v_x * -be, v_x)
+    fric_x = jnp.sign(nv_x) * bf * jnp.abs(v_y) * (1.0 + be)
+    na_x = jnp.where(hit_y, 0.0 - jnp.minimum(0.0, fric_x), 0.0)
+    nv_y = jnp.where(hit_y, v_y * -be, v_y)
+
+    keep = alive_c & ~pinned_c
+    oscr[PX, :, :] = jnp.where(keep, cx_, px)
+    oscr[PY, :, :] = jnp.where(keep, cy_, py)
+    oscr[VX, :, :] = jnp.where(keep, nv_x, vx)
+    oscr[VY, :, :] = jnp.where(keep, nv_y, vy)
+    oscr[AX, :, :] = jnp.where(keep, na_x, ax)
+    oscr[AY, :, :] = jnp.where(keep, na_y, ay)
+    for c in range(4):
+        mb = 6 + c * 5
+        tgt, lst, strn, sts, eal = edge_updates[c]
+        oscr[mb + TGT, :, :] = tgt
+        oscr[mb + LST, :, :] = lst
+        oscr[mb + STR, :, :] = strn
+        oscr[mb + STS, :, :] = sts
+        oscr[mb + EAL, :, :] = eal
+
+    cp_o = pltpu.make_async_copy(
+        oscr,
+        out_ref.at[:, pl.ds(PAD_W + i * tile_w, tile_w),
+                   pl.ds(PAD_H, th)],
+        sems.at[2],
+    )
+    cp_o.start()
+    cp_o.wait()
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+
+
+def padded_dims(w: int, h: int, tile_w: int = 128) -> Tuple[int, int]:
+    """Interior rounded up so W divides by the slab width and H by the
+    lane tile (Mosaic DMA slice shapes must be (8,128)-aligned)."""
+    wr = -(-w // tile_w) * tile_w
+    hr = -(-h // 128) * 128
+    return wr, hr
+
+
+def pack_lattice(state, tile_w: int = 128) -> Tuple[jax.Array, jax.Array]:
+    """LatticeState → (mut [26,Wp,Hp], immut [22,Wp,Hp]) stacked+padded.
+    Dead interior padding (alive=0) rounds W/H to aligned multiples."""
+    w, h = state.shape
+    wr, hr = padded_dims(w, h, tile_w)
+
+    def pad(x):
+        return jnp.pad(
+            x.astype(jnp.float32),
+            ((PAD_W, PAD_W + wr - w), (PAD_H, PAD_H + hr - h)),
+        )
+
+    mut = [state.pos[..., 0], state.pos[..., 1],
+           state.vel[..., 0], state.vel[..., 1],
+           state.acc[..., 0], state.acc[..., 1]]
+    for e in state.edges:
+        mut += [e.target_length, e.last_length, e.strain, e.stress,
+                e.alive.astype(jnp.float32)]
+    immut = [state.alive.astype(jnp.float32),
+             state.pinned.astype(jnp.float32)]
+    for e in state.edges:
+        immut += [e.spring, e.damp, e.yield_strain, e.strain_limit, e.length]
+    return (jnp.stack([pad(x) for x in mut]),
+            jnp.stack([pad(x) for x in immut]))
+
+
+def unpack_lattice(mut: jax.Array, immut: jax.Array, template):
+    """(mut, immut) stacks → LatticeState with ``template``'s immutables."""
+    import dataclasses
+
+    from ..stencil import EdgeClass
+
+    w, h = template.shape
+    core = mut[:, PAD_W : PAD_W + w, PAD_H : PAD_H + h]
+    edges = []
+    for c, e in enumerate(template.edges):
+        mb = 6 + c * 5
+        edges.append(dataclasses.replace(
+            e,
+            target_length=core[mb + TGT],
+            last_length=core[mb + LST],
+            strain=core[mb + STR],
+            stress=core[mb + STS],
+            alive=core[mb + EAL] > 0.0,
+        ))
+    return dataclasses.replace(
+        template,
+        pos=jnp.stack([core[PX], core[PY]], -1),
+        vel=jnp.stack([core[VX], core[VY]], -1),
+        acc=jnp.stack([core[AX], core[AY]], -1),
+        edges=tuple(edges),
+    )
+
+
+def _consts_vector(consts: PhysicsConstants, uin: UserInput,
+                   cfg: StaticConfig, world_h: int) -> jax.Array:
+    ec = (consts.elasticity + 1.0) * 0.5
+    return jnp.stack([
+        jnp.float32(cfg.particle_radius), jnp.float32(cfg.dt),
+        jnp.float32(cfg.bounds_size),
+        consts.gravity[0], consts.gravity[1],
+        consts.border_elasticity, consts.border_friction,
+        ec, consts.friction, consts.drag_coeff, consts.drag_exp,
+        uin.user_strength, uin.mouse_active.astype(jnp.float32),
+        uin.mouse_pos[0], uin.mouse_pos[1],
+        uin.mouse_vel[0], uin.mouse_vel[1],
+        uin.applied_force[0], uin.applied_force[1],
+        jnp.float32(world_h),
+    ])
+
+
+def fused_substep_call(mut, immut, consts_vec, *, w: int, h: int,
+                       stencil: int, quantized: bool,
+                       tile_w: int = 128, interpret: bool = False):
+    """One fused substep over packed stacks (w, h = PADDED interior dims);
+    returns the new mut stack."""
+    if w % tile_w or h % 128:
+        raise ValueError(f"padded interior ({w},{h}) misaligned")
+    gw = w // tile_w
+    bw, bh = tile_w + 2 * PAD_W, h + 2 * PAD_H
+    kernel = functools.partial(
+        _kernel, tile_w=tile_w, world_h=h, stencil=stencil,
+        quantized=quantized,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(gw,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((N_MUT, bw, bh), jnp.float32),
+            pltpu.VMEM((N_IMMUT, bw, bh), jnp.float32),
+            pltpu.VMEM((N_MUT, tile_w, h), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(mut.shape, jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        # NO input_output_aliases: tile i+1's halo DMA must read the
+        # PREVIOUS substep's values of tile i's columns; the scan
+        # ping-pongs buffers instead (read != write).
+        interpret=interpret,
+    )(consts_vec, mut, immut)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "cfg", "tile_w", "interpret"),
+    donate_argnames=("mut",),
+)
+def fused_frame(mut, immut, consts: PhysicsConstants, uin: UserInput,
+                spec, cfg: StaticConfig, tile_w: int = 128,
+                interpret: bool = False):
+    """One frame (cfg.subticks substeps) over the packed stacks."""
+    w, h = padded_dims(spec.width, spec.height, tile_w)
+    cvec = _consts_vector(consts, uin, cfg, spec.height)
+    quantized = cfg.force_mode == "quantized"
+    stencil = 0 if cfg.collision_mode == "none" else spec.collision_stencil
+
+    def body(m, _):
+        return fused_substep_call(
+            m, immut, cvec, w=w, h=h, stencil=stencil,
+            quantized=quantized, tile_w=tile_w, interpret=interpret,
+        ), None
+
+    out, _ = jax.lax.scan(body, mut, None, length=cfg.subticks)
+    return out
