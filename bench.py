@@ -38,11 +38,44 @@ def main() -> int:
     n_target = int(os.environ.get("BENCH_N", 1_000_000))
     frames = int(os.environ.get("BENCH_FRAMES", 8))
     scene_name = os.environ.get("BENCH_SCENE", "tearing_cloth")
-    path = os.environ.get("BENCH_PATH", "lattice")
+    path = os.environ.get("BENCH_PATH", "fused")
 
     consts, uin = PhysicsConstants.default(), UserInput.none()
     t0 = time.time()
-    if path == "lattice" and scene_name == "tearing_cloth":
+    if path == "fused" and scene_name == "tearing_cloth":
+        # fully fused Pallas substep over persistently packed planes
+        from softbody_tpu.models import tearing_cloth_lattice
+        from softbody_tpu.ops.pallas.fused_substep import (
+            fused_frame,
+            pack_lattice,
+            unpack_lattice,
+        )
+
+        lstate, spec, cfg, consts = tearing_cloth_lattice(n_particles=n_target)
+        w, h = lstate.shape
+        n = w * h
+        m = sum(int(np.asarray(e.alive).sum()) for e in lstate.edges)
+        log(f"scene {scene_name} (fused Pallas, lattice {w}x{h}): {n} "
+            f"particles, {m} springs, stencil r={spec.collision_stencil}, "
+            f"subticks={cfg.subticks} (built in {time.time() - t0:.1f}s)")
+        mut0, immut = pack_lattice(lstate, tile_w=64)
+
+        class _Packed:
+            def __init__(self, mut):
+                self.mut = mut
+                self.pos = mut  # for block_until_ready/finite plumbing
+
+        state = _Packed(mut0)
+        template = lstate
+
+        def step(s):
+            return _Packed(fused_frame(s.mut, immut, consts, uin, spec, cfg,
+                                       tile_w=64))
+
+        def alive_beams(s):
+            got = unpack_lattice(s.mut, immut, template)
+            return sum(int(np.asarray(e.alive).sum()) for e in got.edges)
+    elif path == "lattice" and scene_name == "tearing_cloth":
         # dense stencil engine — the TPU-native fast path for lattices
         from softbody_tpu.models import tearing_cloth_lattice
         from softbody_tpu.ops.stencil import lattice_frame_jit
@@ -82,14 +115,20 @@ def main() -> int:
     jax.block_until_ready(state.pos)
     log(f"compile+first frame {time.time() - t0:.1f}s")
 
-    # warm steady state
+    def sync(s):
+        # scalar readback: block_until_ready alone can return early
+        # through the axon transport on donated output chains
+        return jax.device_get(s.pos[(0,) * s.pos.ndim])
+
+    # warm steady state AND the sync op itself (its first use triggers a
+    # remote compile costing seconds — must not land in the timed loop)
     state = step(state)
-    jax.block_until_ready(state.pos)
+    _ = sync(state)
 
     t0 = time.time()
     for _ in range(frames):
         state = step(state)
-    jax.block_until_ready(state.pos)
+    _ = sync(state)
     elapsed = time.time() - t0
 
     substeps = frames * cfg.subticks

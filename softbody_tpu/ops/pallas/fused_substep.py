@@ -78,23 +78,49 @@ EDGE_OFFSETS = ((0, 1), (1, 0), (1, 1), (1, -1))
 N_CONSTS = 20
 
 
-def _kernel(consts, mut_ref, immut_ref, out_ref, mscr, iscr, oscr, sems,
+def _kernel(consts, mut_ref, immut_ref, out_ref, mscr2, iscr2, oscr, sems,
             *, tile_w: int, world_h: int, stencil: int, quantized: bool):
     i = pl.program_id(0)
+    n_slabs = pl.num_programs(0)
     bw = tile_w + 2 * PAD_W
     bh = world_h + 2 * PAD_H
     th = world_h
 
-    cp_m = pltpu.make_async_copy(
-        mut_ref.at[:, pl.ds(i * tile_w, bw), :], mscr, sems.at[0]
-    )
-    cp_i = pltpu.make_async_copy(
-        immut_ref.at[:, pl.ds(i * tile_w, bw), :], iscr, sems.at[1]
-    )
-    cp_m.start()
-    cp_i.start()
-    cp_m.wait()
-    cp_i.wait()
+    # Double-buffered slab pipeline: grid steps run sequentially, so the
+    # scratch persists — kick off slab i+1's input DMAs into the other
+    # buffer before waiting on slab i's.
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    def start_in(dst_slot, slab):
+        pltpu.make_async_copy(
+            mut_ref.at[:, pl.ds(slab * tile_w, bw), :],
+            mscr2.at[dst_slot], sems.at[2 * dst_slot],
+        ).start()
+        pltpu.make_async_copy(
+            immut_ref.at[:, pl.ds(slab * tile_w, bw), :],
+            iscr2.at[dst_slot], sems.at[2 * dst_slot + 1],
+        ).start()
+
+    @pl.when(i == 0)
+    def _():
+        start_in(slot, i)
+
+    @pl.when(i + 1 < n_slabs)
+    def _():
+        start_in(nxt, i + 1)
+
+    # wait for this slab's inputs
+    pltpu.make_async_copy(
+        mut_ref.at[:, pl.ds(i * tile_w, bw), :], mscr2.at[slot],
+        sems.at[2 * slot],
+    ).wait()
+    pltpu.make_async_copy(
+        immut_ref.at[:, pl.ds(i * tile_w, bw), :], iscr2.at[slot],
+        sems.at[2 * slot + 1],
+    ).wait()
+    mscr = mscr2.at[slot]
+    iscr = iscr2.at[slot]
 
     radius = consts[C_RADIUS]
     dt = consts[C_DT]
@@ -349,7 +375,7 @@ def _kernel(consts, mut_ref, immut_ref, out_ref, mscr, iscr, oscr, sems,
         oscr,
         out_ref.at[:, pl.ds(PAD_W + i * tile_w, tile_w),
                    pl.ds(PAD_H, th)],
-        sems.at[2],
+        sems.at[4],
     )
     cp_o.start()
     cp_o.wait()
@@ -457,10 +483,10 @@ def fused_substep_call(mut, immut, consts_vec, *, w: int, h: int,
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((N_MUT, bw, bh), jnp.float32),
-            pltpu.VMEM((N_IMMUT, bw, bh), jnp.float32),
+            pltpu.VMEM((2, N_MUT, bw, bh), jnp.float32),
+            pltpu.VMEM((2, N_IMMUT, bw, bh), jnp.float32),
             pltpu.VMEM((N_MUT, tile_w, h), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((5,)),
         ],
     )
     return pl.pallas_call(
