@@ -121,25 +121,6 @@ class LatticeSpec:
         )
 
 
-def _shift_fwd(arr: jax.Array, dx: int, dy: int) -> jax.Array:
-    """out[x, y] = arr[x+dx, y+dy] (wrapped values must be masked)."""
-    return jnp.roll(arr, shift=(-dx, -dy), axis=(0, 1))
-
-
-def _shift_back(arr: jax.Array, dx: int, dy: int) -> jax.Array:
-    """out[x, y] = arr[x-dx, y-dy]."""
-    return jnp.roll(arr, shift=(dx, dy), axis=(0, 1))
-
-
-def _edge_valid_mask(w: int, h: int, dx: int, dy: int) -> np.ndarray:
-    """Static in-bounds mask for edges (x,y)→(x+dx, y+dy)."""
-    x = np.arange(w)[:, None]
-    y = np.arange(h)[None, :]
-    return (
-        (x + dx >= 0) & (x + dx < w) & (y + dy >= 0) & (y + dy < h)
-    )
-
-
 def lattice_substep(
     state: LatticeState,
     consts: PhysicsConstants,
