@@ -1,0 +1,554 @@
+"""Far-field self-collision for the dense lattice path.
+
+The lattice stencil (ops/stencil.py) applies the reference pair math
+(compute.wgsl:144-170) only between index-space neighbors within
+Chebyshev radius ``s``.  When cloth folds or torn pieces fly, regions
+that are *index-distant* come into *spatial* contact — pairs the
+reference's O(N²) loop handles but the stencil misses.  This module
+supplies those pairs with TPU-native machinery: no sort, no spatial
+hash — dense reductions, a Verlet-style candidate list rebuilt
+occasionally, and fixed-capacity gathers in the per-substep hot path.
+
+Decomposition (complete and double-count-free).  Index space is split
+into ``chunk × chunk`` blocks (default 4×4) and tiles of
+``tile_chunks × tile_chunks`` chunks (default 8×8 chunks = 32×32
+particles).  Every particle pair with index-Chebyshev distance > s falls
+in exactly one bucket by *chunk*-Chebyshev distance:
+
+1. **band** (chunk-chebyshev ≤ 1, i.e. same or adjacent chunk; particle
+   index distance in [s+1, 2·chunk−1]): a dense particle-level stencil
+   over that offset band tests ``dist < 2r + skin`` directly; a flagged
+   chunk contributes its self-pair and its four half-plane adjacent
+   pairs.
+2. **annulus** (chunk-chebyshev in [2, 2·tile_chunks−1]): a dense
+   chunk-level stencil over AABB planes — two chunks are candidates if
+   their axis-aligned bounding boxes, each expanded by ``r + skin/2``,
+   overlap.
+3. **far** (chunk-chebyshev ≥ 2·tile_chunks, which implies
+   tile-chebyshev ≥ 2): tile AABBs are tested all-pairs (dense [T, T]
+   boolean), overlapping far tile pairs are refined chunk-against-chunk
+   with the same AABB test, masked to chunk-chebyshev ≥ 2·tile_chunks.
+
+The three sources are disjoint in chunk distance, so concatenating them
+never duplicates a pair.  Candidate compaction uses ``jnp.nonzero`` with
+static ``size=`` capacities; dropped candidates are counted in
+``overflow`` (graceful degradation, like the collision grid's overflow
+counter).
+
+Per-substep, the candidate chunk pairs are processed with the *exact*
+reference pair math (identical to ops/stencil.py::_stencil_collisions,
+compute.wgsl:150-168) over the full 16×16 particle cross product of each
+pair, masked to index-chebyshev > s and alive endpoints; unordered pairs
+are evaluated once and applied antisymmetrically to both chunks.  The
+contact distance is the true ``2r`` — the skin only widens *detection*.
+
+Validity (Verlet list): the list built at positions ``pos_ref`` covers
+every pair that can reach contact while no particle's displacement
+*relative to the center of mass* exceeds ``skin/2`` (for any pair,
+|Δ(x_i − x_j)| ≤ |Δ(x_i − com)| + |Δ(x_j − com)| ≤ skin).  The COM
+correction makes rigid translation (free fall) cost nothing.  The engine
+(engine/backends.py LatticeBackend) checks the displacement bound every
+frame and rebuilds when it, plus a velocity-based prediction for the
+coming frame, exceeds the budget.
+
+Single-device only: under spatial sharding (parallel/lattice_spatial.py)
+far-field pairs may span device slabs; the sharded path keeps near-field
+stencil semantics (documented limitation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.float32(3.0e38)
+
+
+@dataclasses.dataclass(frozen=True)
+class FarFieldSpec:
+    """Static far-field configuration (hashable jit argument).
+
+    ``skin`` is the detection margin in world units: pairs are candidates
+    when within ``2r + skin`` at rebuild, and the list stays valid until
+    some particle's COM-relative displacement exceeds ``skin/2``.
+    """
+
+    chunk: int = 4
+    tile_chunks: int = 8
+    max_pairs: int = 512        # chunk-pair capacity (per-substep work)
+    max_tile_pairs: int = 128   # far tile-pair capacity (rebuild refine)
+    skin: float = 2.0
+
+    @property
+    def tile(self) -> int:
+        return self.chunk * self.tile_chunks
+
+    def band_half_offsets(self, s: int) -> Tuple[Tuple[int, int], ...]:
+        """Particle-offset half-plane band: chebyshev in [s+1, 2*chunk-1]."""
+        r = 2 * self.chunk - 1
+        return tuple(
+            (dx, dy)
+            for dx in range(0, r + 1)
+            for dy in range(-r, r + 1)
+            if (dx > 0 or dy > 0) and max(abs(dx), abs(dy)) > s
+        )
+
+    def annulus_half_offsets(self) -> Tuple[Tuple[int, int], ...]:
+        """Chunk-offset half-plane annulus: chebyshev in [2, 2*tile_chunks-1]."""
+        r = 2 * self.tile_chunks - 1
+        return tuple(
+            (dx, dy)
+            for dx in range(0, r + 1)
+            for dy in range(-r, r + 1)
+            if max(abs(dx), abs(dy)) >= 2
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FarList:
+    """Candidate chunk-pair list (fixed capacity, valid-prefix packed)."""
+
+    ca: jax.Array        # [K] int32 linear chunk id (cx * cwy + cy)
+    cb: jax.Array        # [K] int32; ca <= cb
+    valid: jax.Array     # [K] bool
+    n_pairs: jax.Array   # [] int32 — number of valid pairs
+    overflow: jax.Array  # [] int32 — candidates dropped at any capacity
+    pos_ref: jax.Array   # [W, H, 2] positions at rebuild (trigger baseline)
+    com_ref: jax.Array   # [2] alive-mean position at rebuild
+
+    @property
+    def capacity(self) -> int:
+        return self.ca.shape[0]
+
+
+def _chunk_dims(w: int, h: int, ff: FarFieldSpec) -> Tuple[int, int, int, int]:
+    """(cwx, cwy, wp, hp): chunk-grid dims and padded particle dims."""
+    c = ff.chunk
+    # pad the chunk grid itself to a tile multiple so tile reductions are
+    # pure reshapes
+    cwx = -(-w // c)
+    cwy = -(-h // c)
+    cwx = -(-cwx // ff.tile_chunks) * ff.tile_chunks
+    cwy = -(-cwy // ff.tile_chunks) * ff.tile_chunks
+    return cwx, cwy, cwx * c, cwy * c
+
+
+def _pad_plane(x: jax.Array, wp: int, hp: int, fill) -> jax.Array:
+    w, h = x.shape
+    return jnp.pad(x, ((0, wp - w), (0, hp - h)), constant_values=fill)
+
+
+def chunk_view(x: jax.Array, ff: FarFieldSpec) -> jax.Array:
+    """Padded [Wp, Hp] plane → chunk-major [Cn, chunk*chunk]."""
+    c = ff.chunk
+    wp, hp = x.shape
+    return (
+        x.reshape(wp // c, c, hp // c, c)
+        .transpose(0, 2, 1, 3)
+        .reshape((wp // c) * (hp // c), c * c)
+    )
+
+
+def unchunk_view(x: jax.Array, wp: int, hp: int, ff: FarFieldSpec) -> jax.Array:
+    """Chunk-major [Cn, chunk*chunk] → padded [Wp, Hp] plane."""
+    c = ff.chunk
+    return (
+        x.reshape(wp // c, hp // c, c, c)
+        .transpose(0, 2, 1, 3)
+        .reshape(wp, hp)
+    )
+
+
+# ---------------------------------------------------------------------------
+# rebuild
+
+
+@functools.partial(jax.jit, static_argnames=("s", "ff", "radius"))
+def rebuild_far_list(
+    pos: jax.Array,
+    alive: jax.Array,
+    *,
+    s: int,
+    ff: FarFieldSpec,
+    radius: float,
+) -> FarList:
+    """Build the candidate chunk-pair list from current positions.
+
+    All work is dense (reductions, shifted compares, one [T, T] tile
+    test) plus three fixed-capacity ``nonzero`` compactions — no sort, no
+    gather beyond the tile refinement's [K1, 64, 4] AABB fetch.
+    """
+    w, h = pos.shape[0], pos.shape[1]
+    cwx, cwy, wp, hp = _chunk_dims(w, h, ff)
+    c = ff.chunk
+    tc = ff.tile_chunks
+    reach = 2.0 * radius + ff.skin          # detection distance
+    m = jnp.float32(radius + 0.5 * ff.skin)  # per-AABB expansion
+
+    px = _pad_plane(pos[..., 0], wp, hp, 0.0)
+    py = _pad_plane(pos[..., 1], wp, hp, 0.0)
+    alv = _pad_plane(alive, wp, hp, False)
+
+    # ---- chunk AABBs (masked reductions; empty chunks never overlap) ----
+    def creduce(plane, op, fill):
+        v = jnp.where(alv, plane, fill)
+        return op(v.reshape(cwx, c, cwy, c), axis=(1, 3))
+
+    cminx = creduce(px, jnp.min, _BIG)
+    cmaxx = creduce(px, jnp.max, -_BIG)
+    cminy = creduce(py, jnp.min, _BIG)
+    cmaxy = creduce(py, jnp.max, -_BIG)
+    cany = jnp.any(alv.reshape(cwx, c, cwy, c), axis=(1, 3))
+
+    # ---- source 1: particle band (same / adjacent chunk pairs) ----------
+    reach2 = jnp.float32(reach * reach)
+
+    def shifted(plane, dx, dy, fill):
+        return jnp.pad(
+            plane, ((0, dx), (max(0, -dy), max(0, dy))),
+            constant_values=fill,
+        )[dx : dx + wp, max(0, dy) : max(0, dy) + hp]
+
+    flag = jnp.zeros((wp, hp), bool)
+    for dx, dy in ff.band_half_offsets(s):
+        d2 = (shifted(px, dx, dy, _BIG) - px) ** 2 + (
+            shifted(py, dx, dy, _BIG) - py
+        ) ** 2
+        flag = flag | (alv & shifted(alv, dx, dy, False) & (d2 < reach2))
+    cflag = jnp.any(flag.reshape(cwx, c, cwy, c), axis=(1, 3))
+
+    # A flagged chunk's band pair may land in any of the 9 neighbor
+    # chunks (band reach 2*chunk−1 crosses at most one chunk boundary per
+    # axis; anything further is the annulus source's bucket).  Each
+    # unordered (base, base+o) pair is emitted once, for o in the
+    # half-plane neighbor set, when EITHER endpoint chunk is flagged —
+    # the hit is only recorded at the pair's lower (half-offset) end, so
+    # the OR over both endpoints is what makes reversed pairs reachable.
+    adj_offsets = ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
+    band_masks = []
+    for dx, dy in adj_offsets:
+        def cshift(plane, fill=False):
+            return jnp.pad(
+                plane, ((0, dx), (max(0, -dy), max(0, dy))),
+                constant_values=fill,
+            )[dx : dx + cwx, max(0, dy) : max(0, dy) + cwy]
+        other = cshift(cany) if (dx or dy) else cany
+        f = (cflag | (cshift(cflag) if (dx or dy) else cflag)) & cany & other
+        band_masks.append(f)
+    band_stack = jnp.stack(band_masks)  # [5, cwx, cwy]
+
+    # ---- source 2: chunk annulus (chebyshev in [2, 2*tc-1]) -------------
+    ann_offsets = ff.annulus_half_offsets()
+
+    def aabb_overlap_shift(dx, dy):
+        def sh(plane, fill):
+            return jnp.pad(
+                plane, ((0, dx), (max(0, -dy), max(0, dy))),
+                constant_values=fill,
+            )[dx : dx + cwx, max(0, dy) : max(0, dy) + cwy]
+        return (
+            cany & sh(cany, False)
+            & (cminx - m <= sh(cmaxx, -_BIG) + m)
+            & (sh(cminx, _BIG) - m <= cmaxx + m)
+            & (cminy - m <= sh(cmaxy, -_BIG) + m)
+            & (sh(cminy, _BIG) - m <= cmaxy + m)
+        )
+
+    ann_stack = jnp.stack([aabb_overlap_shift(dx, dy) for dx, dy in ann_offsets])
+
+    # ---- source 3: far tile pairs + chunk refinement ---------------------
+    tx, ty = cwx // tc, cwy // tc
+    tn = tx * ty
+
+    def treduce(plane, op):
+        return op(plane.reshape(tx, tc, ty, tc), axis=(1, 3))
+
+    tminx = treduce(cminx, jnp.min).reshape(tn)
+    tmaxx = treduce(cmaxx, jnp.max).reshape(tn)
+    tminy = treduce(cminy, jnp.min).reshape(tn)
+    tmaxy = treduce(cmaxy, jnp.max).reshape(tn)
+    tany = treduce(cany, jnp.any).reshape(tn)
+    tix = jnp.arange(tn, dtype=jnp.int32) // ty
+    tiy = jnp.arange(tn, dtype=jnp.int32) % ty
+
+    ov = (
+        (tminx[:, None] - m <= tmaxx[None, :] + m)
+        & (tminx[None, :] - m <= tmaxx[:, None] + m)
+        & (tminy[:, None] - m <= tmaxy[None, :] + m)
+        & (tminy[None, :] - m <= tmaxy[:, None] + m)
+        & tany[:, None] & tany[None, :]
+    )
+    tcheb = jnp.maximum(
+        jnp.abs(tix[:, None] - tix[None, :]), jnp.abs(tiy[:, None] - tiy[None, :])
+    )
+    lin_t = jnp.arange(tn, dtype=jnp.int32)
+    far_tile = ov & (tcheb >= 2) & (lin_t[:, None] < lin_t[None, :])
+
+    k1 = ff.max_tile_pairs
+    ti_a, ti_b = jnp.nonzero(far_tile, size=k1, fill_value=0)
+    tile_valid = (
+        jnp.arange(k1) < jnp.sum(far_tile)
+    )
+    tile_overflow = jnp.maximum(jnp.sum(far_tile.astype(jnp.int32)) - k1, 0)
+
+    # gather each far tile pair's chunk AABBs: [k1, tc*tc, ...]
+    def tile_chunks_of(tid):
+        # linear chunk ids of tile tid's chunks, [tc*tc]
+        bx = (tid // ty) * tc
+        by = (tid % ty) * tc
+        ox = jnp.arange(tc, dtype=jnp.int32)
+        return ((bx + ox)[:, None] * cwy + (by + jnp.arange(tc))[None, :]).reshape(-1)
+
+    ca_ids = jax.vmap(tile_chunks_of)(ti_a)  # [k1, tc*tc]
+    cb_ids = jax.vmap(tile_chunks_of)(ti_b)
+
+    def gat(plane):
+        return plane.reshape(-1)[ca_ids], plane.reshape(-1)[cb_ids]
+
+    aminx, bminx = gat(cminx)
+    amaxx, bmaxx = gat(cmaxx)
+    aminy, bminy = gat(cminy)
+    amaxy, bmaxy = gat(cmaxy)
+    aany, bany = gat(cany)
+    acx, bcx = ca_ids // cwy, cb_ids // cwy
+    acy, bcy = ca_ids % cwy, cb_ids % cwy
+
+    ref_ov = (
+        (aminx[:, :, None] - m <= bmaxx[:, None, :] + m)
+        & (bminx[:, None, :] - m <= amaxx[:, :, None] + m)
+        & (aminy[:, :, None] - m <= bmaxy[:, None, :] + m)
+        & (bminy[:, None, :] - m <= amaxy[:, :, None] + m)
+        & aany[:, :, None] & bany[:, None, :]
+        & tile_valid[:, None, None]
+    )
+    ccheb = jnp.maximum(
+        jnp.abs(acx[:, :, None] - bcx[:, None, :]),
+        jnp.abs(acy[:, :, None] - bcy[:, None, :]),
+    )
+    ref_ov = ref_ov & (ccheb >= 2 * tc)
+
+    # ---- compact the three sources --------------------------------------
+    k2 = ff.max_pairs
+
+    # band: entry (o, cx, cy) → pair (chunk, chunk + adj_offsets[o])
+    b_o, b_cx, b_cy = jnp.nonzero(band_stack, size=k2, fill_value=0)
+    b_n = jnp.sum(band_stack.astype(jnp.int32))
+    adj = jnp.asarray(adj_offsets, jnp.int32)
+    band_ca = b_cx * cwy + b_cy
+    band_cb = (b_cx + adj[b_o, 0]) * cwy + (b_cy + adj[b_o, 1])
+    band_valid = jnp.arange(k2) < b_n
+
+    # annulus: entry (o, cx, cy) → pair (chunk, chunk + ann_offsets[o])
+    a_o, a_cx, a_cy = jnp.nonzero(ann_stack, size=k2, fill_value=0)
+    a_n = jnp.sum(ann_stack.astype(jnp.int32))
+    anno = jnp.asarray(ann_offsets, jnp.int32)
+    ann_ca = a_cx * cwy + a_cy
+    ann_cb = (a_cx + anno[a_o, 0]) * cwy + (a_cy + anno[a_o, 1])
+    ann_valid = jnp.arange(k2) < a_n
+
+    # far: entry (pair, i, j) → (ca_ids[pair, i], cb_ids[pair, j])
+    f_p, f_i, f_j = jnp.nonzero(ref_ov, size=k2, fill_value=0)
+    f_n = jnp.sum(ref_ov.astype(jnp.int32))
+    far_ca = ca_ids[f_p, f_i]
+    far_cb = cb_ids[f_p, f_j]
+    far_valid = jnp.arange(k2) < f_n
+
+    ca = jnp.concatenate([band_ca, ann_ca, far_ca])
+    cb = jnp.concatenate([band_cb, ann_cb, far_cb])
+    valid = jnp.concatenate([band_valid, ann_valid, far_valid])
+    # canonical order ca <= cb
+    lo = jnp.minimum(ca, cb)
+    hi = jnp.maximum(ca, cb)
+
+    # pack valid entries first, crop to capacity
+    order = jnp.argsort(~valid, stable=True)
+    lo, hi, valid = lo[order][:k2], hi[order][:k2], valid[order][:k2]
+    total = b_n + a_n + f_n
+    n_pairs = jnp.minimum(total, k2)
+    overflow = (
+        jnp.maximum(b_n - k2, 0) + jnp.maximum(a_n - k2, 0)
+        + jnp.maximum(f_n - k2, 0) + jnp.maximum(total - k2, 0)
+        + tile_overflow
+    )
+
+    amask = alive[..., None]
+    n_alive = jnp.maximum(jnp.sum(alive.astype(jnp.float32)), 1.0)
+    com = jnp.sum(jnp.where(amask, pos, 0.0), axis=(0, 1)) / n_alive
+    return FarList(
+        ca=lo.astype(jnp.int32),
+        cb=hi.astype(jnp.int32),
+        valid=valid & (jnp.arange(k2) < n_pairs),
+        n_pairs=n_pairs.astype(jnp.int32),
+        overflow=overflow.astype(jnp.int32),
+        pos_ref=pos,
+        com_ref=com,
+    )
+
+
+def crop_far_list(fl: FarList, k: int) -> FarList:
+    """Slice a rebuilt list down to a smaller capacity bucket (valid
+    entries are prefix-packed, so a plain slice keeps them all when
+    ``k >= n_pairs``)."""
+    return dataclasses.replace(
+        fl, ca=fl.ca[:k], cb=fl.cb[:k], valid=fl.valid[:k]
+    )
+
+
+@jax.jit
+def displacement_check(pos, alive, fl: FarList):
+    """Max COM-relative displacement since rebuild — the engine's rebuild
+    trigger (list valid while this stays ≤ skin/2)."""
+    amask = alive[..., None]
+    n_alive = jnp.maximum(jnp.sum(alive.astype(jnp.float32)), 1.0)
+    com = jnp.sum(jnp.where(amask, pos, 0.0), axis=(0, 1)) / n_alive
+    d = (pos - fl.pos_ref) - (com - fl.com_ref)
+    d2 = jnp.where(alive, d[..., 0] ** 2 + d[..., 1] ** 2, 0.0)
+    return jnp.sqrt(jnp.max(d2))
+
+
+@jax.jit
+def max_relative_speed(vel, alive):
+    amask = alive[..., None]
+    n_alive = jnp.maximum(jnp.sum(alive.astype(jnp.float32)), 1.0)
+    vmean = jnp.sum(jnp.where(amask, vel, 0.0), axis=(0, 1)) / n_alive
+    dv = vel - vmean
+    v2 = jnp.where(alive, dv[..., 0] ** 2 + dv[..., 1] ** 2, 0.0)
+    return jnp.sqrt(jnp.max(v2))
+
+
+# ---------------------------------------------------------------------------
+# per-substep pair processing
+
+
+def far_collision_terms(
+    px: jax.Array,
+    py: jax.Array,
+    vx: jax.Array,
+    vy: jax.Array,
+    alive: jax.Array,
+    fl: FarList,
+    *,
+    s: int,
+    ff: FarFieldSpec,
+    radius,
+    dt,
+    ecoeff,
+    friction,
+    world_h: int,
+):
+    """Exact reference pair math (compute.wgsl:150-168) over the candidate
+    chunk pairs; returns dense (dvx, dvy, dax, day, dyn) delta planes of
+    the *unpadded* [W, H] shape, to be added to the near-field stencil's.
+
+    Pairs are masked to index-chebyshev > ``s`` (near-field's territory)
+    and, for self-pairs, to the lower triangle — each unordered pair is
+    evaluated once and applied antisymmetrically, the same trick as
+    ops/stencil.py::_stencil_collisions.
+    """
+    w, h = px.shape
+    cwx, cwy, wp, hp = _chunk_dims(w, h, ff)
+    c = ff.chunk
+    cc = c * c
+
+    cm = {
+        "px": chunk_view(_pad_plane(px, wp, hp, 0.0), ff),
+        "py": chunk_view(_pad_plane(py, wp, hp, 0.0), ff),
+        "vx": chunk_view(_pad_plane(vx, wp, hp, 0.0), ff),
+        "vy": chunk_view(_pad_plane(vy, wp, hp, 0.0), ff),
+        "al": chunk_view(_pad_plane(alive, wp, hp, False), ff),
+    }
+
+    def side(ids):
+        g = {n: v[ids] for n, v in cm.items()}  # [k, cc] each
+        # global index planes derived from chunk id (no gather needed)
+        cx = (ids // cwy)[:, None]
+        cy = (ids % cwy)[:, None]
+        kk = jnp.arange(cc, dtype=jnp.int32)[None, :]
+        g["ix"] = cx * c + kk // c
+        g["iy"] = cy * c + kk % c
+        # int32 linear index: exact at any lattice size (f32 would lose
+        # unit differences past 2^24 elements)
+        g["lin"] = g["ix"] * world_h + g["iy"]
+        return g
+
+    A = side(fl.ca)
+    B = side(fl.cb)
+
+    def ax_(x):  # [k, cc] → [k, cc, 1]
+        return x[:, :, None]
+
+    def bx_(x):  # [k, cc] → [k, 1, cc]
+        return x[:, None, :]
+
+    cheb = jnp.maximum(
+        jnp.abs(ax_(A["ix"]) - bx_(B["ix"])),
+        jnp.abs(ax_(A["iy"]) - bx_(B["iy"])),
+    )
+    self_pair = (fl.ca == fl.cb)[:, None, None]
+    valid = (
+        fl.valid[:, None, None]
+        & ax_(A["al"]) & bx_(B["al"])
+        & (cheb > s)
+        & (~self_pair | (ax_(A["lin"]) < bx_(B["lin"])))
+    )
+
+    ddx = bx_(B["px"]) - ax_(A["px"])
+    ddy = bx_(B["py"]) - ax_(A["py"])
+    dist = jnp.sqrt(ddx * ddx + ddy * ddy)
+    r = jnp.float32(radius)
+    coincident = valid & (dist == 0.0)
+    overlap = valid & (dist > 0.0) & (dist < 2.0 * r)
+
+    co = jnp.where(
+        coincident,
+        jnp.sign(ax_(A["lin"]) - bx_(B["lin"])).astype(jnp.float32),
+        0.0,
+    )
+
+    inv = jnp.where(overlap, 1.0 / jnp.where(overlap, dist, 1.0), 0.0)
+    nx_, ny_ = ddx * inv, ddy * inv
+    rvx = ax_(A["vx"]) - bx_(B["vx"])
+    rvy = ax_(A["vy"]) - bx_(B["vy"])
+    imp_n = ecoeff * (rvx * nx_ + rvy * ny_)
+    max_fric = imp_n * friction
+    imp_t = jnp.minimum(jnp.maximum(rvx * -ny_ + rvy * nx_, -max_fric), max_fric)
+    pdvx = jnp.where(overlap, -(imp_n * nx_ + imp_t * -ny_), 0.0)
+    pdvy = jnp.where(overlap, -(imp_n * ny_ + imp_t * nx_), 0.0)
+    clip = (2.0 * r - dist) * 0.5 / (jnp.float32(dt) * jnp.float32(dt))
+    pdax = jnp.where(overlap, -nx_ * clip, 0.0)
+    pday = jnp.where(overlap, -ny_ * clip, 0.0)
+
+    terms = (pdvx, pdvy, pdax, pday, co)
+    # a-side receives the term; b-side the exact negation (antisymmetry)
+    a_contrib = [t.sum(axis=2) for t in terms]       # [k, cc]
+    b_contrib = [-t.sum(axis=1) for t in terms]      # [k, cc]
+
+    cn = cwx * cwy
+    out = []
+    ids = jnp.concatenate([fl.ca, fl.cb])
+    for a_t, b_t in zip(a_contrib, b_contrib):
+        data = jnp.concatenate([a_t, b_t])           # [2k, cc]
+        plane = jnp.zeros((cn, cc), jnp.float32).at[ids].add(data)
+        out.append(unchunk_view(plane, wp, hp, ff)[:w, :h])
+    return tuple(out)
+
+
+def empty_far_list(w: int, h: int, ff: FarFieldSpec) -> FarList:
+    """An all-invalid list of the spec's capacity (useful for tests)."""
+    k = ff.max_pairs
+    return FarList(
+        ca=jnp.zeros((k,), jnp.int32),
+        cb=jnp.zeros((k,), jnp.int32),
+        valid=jnp.zeros((k,), bool),
+        n_pairs=jnp.int32(0),
+        overflow=jnp.int32(0),
+        pos_ref=jnp.zeros((w, h, 2), jnp.float32),
+        com_ref=jnp.zeros((2,), jnp.float32),
+    )

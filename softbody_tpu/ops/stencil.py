@@ -129,6 +129,8 @@ def lattice_substep(
     cfg: StaticConfig,
     lin_x_offset=0,
     update_observability: bool = True,
+    far=None,
+    ffspec=None,
 ) -> LatticeState:
     """One substep of the dense path (semantics of compute.wgsl:90-203).
 
@@ -262,6 +264,26 @@ def lattice_substep(
         dvx, dvy, dax, day, dyn = _stencil_collisions(
             state, consts, spec, cfg, lin_x_offset
         )
+
+    # ---- far-field contacts (index-distant pairs; ops/farfield.py) ----
+    if far is not None and cfg.collision_mode != "none":
+        from .farfield import far_collision_terms
+
+        fdvx, fdvy, fdax, fday, fdyn = far_collision_terms(
+            state.pos[..., 0], state.pos[..., 1],
+            state.vel[..., 0], state.vel[..., 1],
+            state.alive, far,
+            s=spec.collision_stencil, ff=ffspec,
+            radius=cfg.particle_radius, dt=cfg.dt,
+            ecoeff=(consts.elasticity + 1.0) * 0.5,
+            friction=consts.friction,
+            world_h=spec.height,
+        )
+        dvx = dvx + fdvx
+        dvy = dvy + fdvy
+        dax = dax + fdax
+        day = day + fday
+        dyn = dyn + fdyn
 
     # ---- integration (component twin of ops/integrate.py) ----
     pxn, pyn, vxn, vyn, axn, ayn = _integrate_components(
@@ -474,6 +496,37 @@ lattice_frame_jit = jax.jit(
     donate_argnames=("state",),
 )
 
+
+def lattice_frame_far(
+    state: LatticeState,
+    far,
+    consts: PhysicsConstants,
+    uin: UserInput,
+    spec: LatticeSpec,
+    cfg: StaticConfig,
+    ffspec,
+) -> LatticeState:
+    """One frame with far-field contacts: the candidate list is fixed for
+    the whole frame (Verlet-list validity is the caller's contract — see
+    ops/farfield.py and LatticeBackend's rebuild trigger)."""
+
+    def body(carry, _):
+        return (
+            lattice_substep(carry, consts, uin, spec, cfg,
+                            far=far, ffspec=ffspec),
+            None,
+        )
+
+    out, _ = jax.lax.scan(body, state, None, length=cfg.subticks)
+    return out
+
+
+lattice_frame_far_jit = jax.jit(
+    lattice_frame_far,
+    static_argnames=("spec", "cfg", "ffspec"),
+    donate_argnames=("state",),
+)
+
 lattice_substep_jit = jax.jit(
-    lattice_substep, static_argnames=("spec", "cfg")
+    lattice_substep, static_argnames=("spec", "cfg", "ffspec")
 )

@@ -1,0 +1,198 @@
+"""Far-field self-collision (ops/farfield.py): index-distant contacts on
+the lattice path must match the reference's all-pairs semantics
+(compute.wgsl:144-170, via the NumPy oracle)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from softbody_tpu import PhysicsConstants, StaticConfig, UserInput
+from softbody_tpu.models import lattice_to_simstate, make_lattice
+from softbody_tpu.ops.farfield import (
+    FarFieldSpec,
+    displacement_check,
+    far_collision_terms,
+    max_relative_speed,
+    rebuild_far_list,
+)
+from softbody_tpu.ops.stencil import (
+    LatticeSpec,
+    lattice_frame_far_jit,
+    lattice_substep_jit,
+)
+
+import oracle
+
+RADIUS = 4.0
+SPACING = 10.0
+
+
+def hairpin(w=96, h=4, gap=6.0, spring=0.0):
+    """A strip folded back on itself: columns i and w-1-i overlap
+    spatially at vertical offset ``gap`` (< 2·RADIUS, so the two layers
+    are in contact) while being index-distant — the configuration the
+    near-field stencil cannot see."""
+    ls = make_lattice(w, h, SPACING, spring=spring, damp=0.0,
+                      yield_strain=10.0, strain_limit=100.0)
+    half = w // 2
+    pos = np.zeros((w, h, 2), np.float32)
+    for i in range(w):
+        y_row = 300.0 if i < half else 300.0 + gap
+        xi = i if i < half else (w - 1 - i)
+        # half-spacing shift so folded particles interleave, not stack
+        xoff = 0.0 if i < half else SPACING * 0.5
+        pos[i, :, 0] = 100.0 + xi * SPACING + xoff
+        pos[i, :, 1] = y_row + np.arange(h) * SPACING * 3.0
+    # rows separated by 3*SPACING so only the fold contact matters
+    pos = pos.reshape(w, h, 2)
+    vel = np.zeros((w, h, 2), np.float32)
+    # push the layers together so contacts generate impulses
+    vel[:half, :, 1] = 1.5
+    vel[half:, :, 1] = -1.5
+    return dataclasses.replace(
+        ls, pos=jnp.asarray(pos), vel=jnp.asarray(vel)
+    )
+
+
+def to_oracle(ls):
+    sim = lattice_to_simstate(ls, build_incidence=False)
+    return {
+        "pos": np.asarray(sim.pos),
+        "vel": np.asarray(sim.vel),
+        "acc": np.asarray(sim.acc),
+        "alive": np.asarray(sim.particle_alive),
+        "beam_a": np.asarray(sim.beam_a),
+        "beam_b": np.asarray(sim.beam_b),
+        "length": np.asarray(sim.beam_length),
+        "target": np.asarray(sim.beam_target_length),
+        "last": np.asarray(sim.beam_last_length),
+        "spring": np.asarray(sim.beam_spring),
+        "damp": np.asarray(sim.beam_damp),
+        "yield_strain": np.asarray(sim.beam_yield_strain),
+        "strain_limit": np.asarray(sim.beam_strain_limit),
+        "strain": np.asarray(sim.beam_strain),
+        "stress": np.asarray(sim.beam_stress),
+        "beam_alive": np.asarray(sim.beam_alive),
+    }
+
+
+FF = FarFieldSpec(max_pairs=512, max_tile_pairs=64, skin=4.0)
+CFG = StaticConfig(subticks=8, collision_mode="allpairs",
+                   particle_radius=RADIUS, force_mode="quantized")
+
+
+def test_flat_lattice_has_no_candidates():
+    """Unfolded cloth: every contact is near-field — the candidate list
+    must be empty (this is the 1M bench's fast-path invariant)."""
+    ls = make_lattice(40, 40, SPACING)
+    fl = rebuild_far_list(ls.pos, ls.alive, s=2, ff=FF, radius=RADIUS)
+    assert int(fl.n_pairs) == 0
+    assert int(fl.overflow) == 0
+    assert not bool(np.asarray(fl.valid).any())
+
+
+def test_hairpin_detected_and_terms_nonzero():
+    ls = hairpin()
+    fl = rebuild_far_list(ls.pos, ls.alive, s=2, ff=FF, radius=RADIUS)
+    assert int(fl.n_pairs) > 0
+    assert int(fl.overflow) == 0
+    dvx, dvy, dax, day, dyn = far_collision_terms(
+        ls.pos[..., 0], ls.pos[..., 1], ls.vel[..., 0], ls.vel[..., 1],
+        ls.alive, fl, s=2, ff=FF, radius=RADIUS, dt=CFG.dt,
+        ecoeff=0.75, friction=0.1, world_h=ls.shape[1],
+    )
+    assert float(jnp.abs(dvy).max()) > 0.0
+
+
+def _run_far(ls, spec, steps, consts, uin):
+    for _ in range(steps):
+        fl = rebuild_far_list(
+            ls.pos, ls.alive, s=spec.collision_stencil, ff=FF, radius=RADIUS
+        )
+        ls = lattice_substep_jit(ls, consts, uin, spec, CFG,
+                                 far=fl, ffspec=FF)
+    return ls
+
+
+@pytest.mark.parametrize("spring", [0.0, 5.0])
+def test_fold_matches_oracle(spring):
+    # spring=5 keeps ω·dt small: stiffer springs at dt=1/8 amplify the
+    # f32 collision-sum ordering ulps into divergence within a few steps
+    """Near-field stencil + far-field list == the oracle's all-pairs
+    collision, on a folded strip where most contacts are index-distant."""
+    ls = hairpin(spring=spring)
+    w, h = ls.shape
+    spec = LatticeSpec(w, h, collision_stencil=2)
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+
+    os = to_oracle(ls)
+    for _ in range(6):
+        os = oracle.substep(os, dt=CFG.dt, radius=RADIUS, quantized=True)
+    ls_out = _run_far(ls, spec, 6, consts, uin)
+
+    p = np.asarray(ls_out.pos).reshape(w * h, 2)
+    v = np.asarray(ls_out.vel).reshape(w * h, 2)
+    np.testing.assert_allclose(p, os["pos"], rtol=0, atol=2e-3)
+    np.testing.assert_allclose(v, os["vel"], rtol=0, atol=2e-2)
+
+
+def test_far_field_changes_trajectory():
+    """Without the far list the layers pass through each other —
+    proves the fold contacts are genuinely out of stencil range."""
+    ls = hairpin()
+    w, h = ls.shape
+    spec = LatticeSpec(w, h, collision_stencil=2)
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+    near_only = ls
+    for _ in range(6):
+        near_only = lattice_substep_jit(near_only, consts, uin, spec, CFG)
+    with_far = _run_far(ls, spec, 6, consts, uin)
+    dv = np.abs(np.asarray(with_far.vel) - np.asarray(near_only.vel)).max()
+    assert dv > 1e-3
+
+
+def test_frame_scan_with_fixed_list_matches_oracle():
+    """lattice_frame_far: one rebuilt list reused for a whole frame stays
+    correct while displacements remain within the skin budget."""
+    ls = hairpin()
+    w, h = ls.shape
+    spec = LatticeSpec(w, h, collision_stencil=2)
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+    # a frame covers 8 substeps of free motion — size the skin so the
+    # list stays valid for the whole frame
+    ff = dataclasses.replace(FF, skin=8.0)
+    fl = rebuild_far_list(ls.pos, ls.alive, s=2, ff=ff, radius=RADIUS)
+
+    os = to_oracle(ls)
+    for _ in range(CFG.subticks):
+        os = oracle.substep(os, dt=CFG.dt, radius=RADIUS, quantized=True)
+    out = lattice_frame_far_jit(ls, fl, consts, uin, spec, CFG, ff)
+    # validity: max COM-relative displacement stayed within skin/2
+    disp = float(displacement_check(out.pos, out.alive, fl))
+    assert disp <= ff.skin * 0.5
+    p = np.asarray(out.pos).reshape(w * h, 2)
+    np.testing.assert_allclose(p, os["pos"], rtol=0, atol=2e-3)
+
+
+def test_overflow_counter_fires():
+    tiny = FarFieldSpec(max_pairs=4, max_tile_pairs=2, skin=4.0)
+    ls = hairpin()
+    fl = rebuild_far_list(ls.pos, ls.alive, s=2, ff=tiny, radius=RADIUS)
+    assert int(fl.overflow) > 0
+
+
+def test_displacement_trigger_ignores_translation():
+    ls = hairpin()
+    fl = rebuild_far_list(ls.pos, ls.alive, s=2, ff=FF, radius=RADIUS)
+    # rigid translation: COM correction cancels it exactly
+    moved = ls.pos + jnp.asarray([123.0, -77.0])
+    assert float(displacement_check(moved, ls.alive, fl)) < 1e-3
+    # one particle moving relative to the rest trips the trigger
+    bump = ls.pos.at[0, 0, 0].add(5.0)
+    assert float(displacement_check(bump, ls.alive, fl)) > 4.0
+    # relative speed measure: uniform velocity → ~0
+    vel = jnp.ones_like(ls.vel) * 9.0
+    assert float(max_relative_speed(vel, ls.alive)) < 1e-5
