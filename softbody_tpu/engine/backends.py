@@ -103,17 +103,73 @@ def _corrupt_array(arr, rng: np.random.Generator):
 
 
 class LatticeBackend:
-    """Dense stencil engine backend."""
+    """Dense stencil engine backend.
 
-    def __init__(self, spec, cfg: StaticConfig) -> None:
-        from ..ops.stencil import lattice_frame_jit
+    ``farfield``: optional :class:`~softbody_tpu.ops.farfield.FarFieldSpec`
+    enabling index-distant (fold/tear) self-collision.  The backend keeps
+    a Verlet-style candidate list and rebuilds it adaptively: before each
+    frame it projects the maximum COM-relative displacement the frame can
+    add (current displacement + max relative speed × frame time × safety
+    factor 2) against the skin/2 validity budget.  An empty list keeps
+    the zero-cost near-field-only fast path; capacity buckets (64/256/…)
+    keep the per-substep gather small when few pairs are active.
+    """
+
+    _FAR_BUCKETS = (64, 256, 1024)
+
+    def __init__(self, spec, cfg: StaticConfig, farfield=None) -> None:
+        from ..ops.stencil import lattice_frame_far_jit, lattice_frame_jit
 
         self.spec = spec
         self.cfg = cfg
+        self.ff = farfield
         self._frame = lattice_frame_jit
+        self._frame_far = lattice_frame_far_jit
         self._static_topology = None  # (beam_a, beam_b, class slices) cache
+        self._far_list = None         # full-capacity list (device)
+        self._far_active = None       # cropped list passed to the frame fn
+        self.far_rebuilds = 0
+        self.far_pairs = 0
+        self.far_overflow = 0
+
+    def _far_maybe_rebuild(self, state) -> None:
+        from ..ops.farfield import (
+            crop_far_list,
+            displacement_check,
+            max_relative_speed,
+            rebuild_far_list,
+        )
+
+        budget = self.ff.skin * 0.5
+        frame_t = self.cfg.subticks * self.cfg.dt
+        vrel = float(max_relative_speed(state.vel, state.alive))
+        projected = 2.0 * vrel * frame_t
+        if self._far_list is not None:
+            disp = float(displacement_check(state.pos, state.alive,
+                                            self._far_list))
+            if disp + projected <= budget:
+                return
+        self._far_list = rebuild_far_list(
+            state.pos, state.alive,
+            s=self.spec.collision_stencil, ff=self.ff,
+            radius=self.cfg.particle_radius,
+        )
+        self.far_rebuilds += 1
+        self.far_pairs = int(self._far_list.n_pairs)
+        self.far_overflow = int(self._far_list.overflow)
+        if self.far_pairs == 0:
+            self._far_active = None
+        else:
+            k = next((b for b in self._FAR_BUCKETS if b >= self.far_pairs),
+                     self.ff.max_pairs)
+            self._far_active = crop_far_list(self._far_list, min(k, self.ff.max_pairs))
 
     def step(self, state, consts, uin):
+        if self.ff is not None and self.cfg.collision_mode != "none":
+            self._far_maybe_rebuild(state)
+            if self._far_active is not None:
+                return self._frame_far(state, self._far_active, consts, uin,
+                                       self.spec, self.cfg, self.ff)
         return self._frame(state, consts, uin, self.spec, self.cfg)
 
     def extract(self, state):

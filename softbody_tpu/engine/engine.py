@@ -34,9 +34,12 @@ class Engine:
         state: SimState,
         consts: Optional[PhysicsConstants] = None,
         options: Optional[EngineOptions] = None,
+        *,
+        backend=None,
     ) -> None:
         self.options = options or EngineOptions()
-        self._worker = EngineWorker(state, consts, self.options)
+        self._worker = EngineWorker(state, consts, self.options,
+                                    backend=backend)
         self._destroyed = False
         # input model ≙ engine.ts:39-75
         self.keyboard_force: float = 1.0
@@ -184,28 +187,19 @@ class LatticeEngine(Engine):
         spec,
         consts: Optional[PhysicsConstants] = None,
         options: Optional[EngineOptions] = None,
+        farfield=None,
     ) -> None:
         from ..config import StaticConfig
         from .backends import LatticeBackend
 
-        self.options = options or EngineOptions()
+        options = options or EngineOptions()
         cfg = StaticConfig(
-            bounds_size=self.options.bounds_size,
-            particle_radius=self.options.particle_radius,
-            subticks=self.options.subticks,
-            collision_mode=self.options.collision_mode,
-            force_mode=self.options.force_mode,
-            use_pallas=self.options.use_pallas,
+            bounds_size=options.bounds_size,
+            particle_radius=options.particle_radius,
+            subticks=options.subticks,
+            collision_mode=options.collision_mode,
+            force_mode=options.force_mode,
+            use_pallas=options.use_pallas,
         )
-        backend = LatticeBackend(spec, cfg)
-        self._worker = EngineWorker(state, consts, self.options, backend=backend)
-        self._destroyed = False
-        self.keyboard_force = 1.0
-        self.user_strength = 1.0
-        self._held_keys = set()
-        import numpy as _np
-
-        self._mouse_pos = _np.zeros(2, _np.float32)
-        self._mouse_active = False
-        self._last_input_send = 0.0
-        self._input_throttle_s = 0.010
+        backend = LatticeBackend(spec, cfg, farfield=farfield)
+        super().__init__(state, consts, options, backend=backend)

@@ -65,6 +65,11 @@ class EngineStats:
     frame_index: int
     particle_count: int
     beam_count: int
+    # far-field self-collision observability (lattice backend with a
+    # FarFieldSpec; zeros otherwise)
+    far_pairs: int = 0
+    far_rebuilds: int = 0
+    far_overflow: int = 0
 
 
 class EngineWorker:
@@ -256,6 +261,9 @@ class EngineWorker:
             frame_index=self._frame_index,
             particle_count=n,
             beam_count=m,
+            far_pairs=getattr(self.backend, "far_pairs", 0),
+            far_rebuilds=getattr(self.backend, "far_rebuilds", 0),
+            far_overflow=getattr(self.backend, "far_overflow", 0),
         )
 
     @property

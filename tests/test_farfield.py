@@ -184,6 +184,43 @@ def test_overflow_counter_fires():
     assert int(fl.overflow) > 0
 
 
+def test_lattice_engine_farfield_end_to_end():
+    """LatticeEngine with a FarFieldSpec: the worker's adaptive rebuild
+    kicks in, stats surface the pair count, and the fold layers bounce
+    instead of passing through."""
+    from softbody_tpu.engine.engine import LatticeEngine
+    from softbody_tpu.engine.protocol import EngineOptions
+
+    ls = hairpin()
+    w, h = ls.shape
+    spec = LatticeSpec(w, h, collision_stencil=2)
+    opts = EngineOptions(subticks=8, particle_radius=RADIUS,
+                         collision_mode="allpairs")
+    ff = dataclasses.replace(FF, skin=8.0)
+    y_top0 = float(np.asarray(ls.pos)[w // 2 :, :, 1].min())
+    with LatticeEngine(ls, spec, options=opts, farfield=ff) as eng:
+        deadline = 60.0
+        import time as _t
+        t0 = _t.monotonic()
+        while _t.monotonic() - t0 < deadline:
+            st = eng.stats()
+            if st.frame_index >= 4:
+                break
+            _t.sleep(0.2)
+        st = eng.stats()
+        pkt = eng.render_packet()
+    assert st.far_rebuilds >= 1
+    assert st.far_pairs > 0
+    assert st.far_overflow == 0
+    pos = pkt.pos.reshape(w, h, 2)
+    # the top (folded-back) layer approaches at -1.5 but must not sink
+    # below the bottom layer: contact holds the two apart
+    assert np.isfinite(pos).all()
+    y_bottom = pos[: w // 2, :, 1]
+    y_top = pos[w // 2 :, :, 1]
+    assert float(np.median(y_top - y_bottom[::-1])) > 0.0
+
+
 def test_displacement_trigger_ignores_translation():
     ls = hairpin()
     fl = rebuild_far_list(ls.pos, ls.alive, s=2, ff=FF, radius=RADIUS)
