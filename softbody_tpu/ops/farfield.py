@@ -208,20 +208,23 @@ def rebuild_far_list(
     cany = jnp.any(alv.reshape(cwx, c, cwy, c), axis=(1, 3))
 
     # ---- source 1: particle band (same / adjacent chunk pairs) ----------
+    # pad ONCE to the band's full reach and slice per offset — a per-offset
+    # jnp.pad materializes a fresh plane each time (measured 40×+ slower)
     reach2 = jnp.float32(reach * reach)
+    br = 2 * c - 1
+    px_b = jnp.pad(px, ((0, br), (br, br)), constant_values=_BIG)
+    py_b = jnp.pad(py, ((0, br), (br, br)), constant_values=_BIG)
+    alv_b = jnp.pad(alv, ((0, br), (br, br)), constant_values=False)
 
-    def shifted(plane, dx, dy, fill):
-        return jnp.pad(
-            plane, ((0, dx), (max(0, -dy), max(0, dy))),
-            constant_values=fill,
-        )[dx : dx + wp, max(0, dy) : max(0, dy) + hp]
+    def shifted(plane_b, dx, dy):
+        return plane_b[dx : dx + wp, br + dy : br + dy + hp]
 
     flag = jnp.zeros((wp, hp), bool)
     for dx, dy in ff.band_half_offsets(s):
-        d2 = (shifted(px, dx, dy, _BIG) - px) ** 2 + (
-            shifted(py, dx, dy, _BIG) - py
+        d2 = (shifted(px_b, dx, dy) - px) ** 2 + (
+            shifted(py_b, dx, dy) - py
         ) ** 2
-        flag = flag | (alv & shifted(alv, dx, dy, False) & (d2 < reach2))
+        flag = flag | (alv & shifted(alv_b, dx, dy) & (d2 < reach2))
     cflag = jnp.any(flag.reshape(cwx, c, cwy, c), axis=(1, 3))
 
     # A flagged chunk's band pair may land in any of the 9 neighbor
@@ -231,16 +234,23 @@ def rebuild_far_list(
     # half-plane neighbor set, when EITHER endpoint chunk is flagged —
     # the hit is only recorded at the pair's lower (half-offset) end, so
     # the OR over both endpoints is what makes reversed pairs reachable.
+    # chunk-plane padded views, shared by the band-adjacency and annulus
+    # stencils (single pad, sliced per offset)
+    ar = 2 * tc - 1
+    cminx_b = jnp.pad(cminx, ((0, ar), (ar, ar)), constant_values=_BIG)
+    cmaxx_b = jnp.pad(cmaxx, ((0, ar), (ar, ar)), constant_values=-_BIG)
+    cminy_b = jnp.pad(cminy, ((0, ar), (ar, ar)), constant_values=_BIG)
+    cmaxy_b = jnp.pad(cmaxy, ((0, ar), (ar, ar)), constant_values=-_BIG)
+    cany_b = jnp.pad(cany, ((0, ar), (ar, ar)), constant_values=False)
+    cflag_b = jnp.pad(cflag, ((0, ar), (ar, ar)), constant_values=False)
+
+    def csh(plane_b, dx, dy):
+        return plane_b[dx : dx + cwx, ar + dy : ar + dy + cwy]
+
     adj_offsets = ((0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
     band_masks = []
     for dx, dy in adj_offsets:
-        def cshift(plane, fill=False):
-            return jnp.pad(
-                plane, ((0, dx), (max(0, -dy), max(0, dy))),
-                constant_values=fill,
-            )[dx : dx + cwx, max(0, dy) : max(0, dy) + cwy]
-        other = cshift(cany) if (dx or dy) else cany
-        f = (cflag | (cshift(cflag) if (dx or dy) else cflag)) & cany & other
+        f = (cflag | csh(cflag_b, dx, dy)) & cany & csh(cany_b, dx, dy)
         band_masks.append(f)
     band_stack = jnp.stack(band_masks)  # [5, cwx, cwy]
 
@@ -248,17 +258,12 @@ def rebuild_far_list(
     ann_offsets = ff.annulus_half_offsets()
 
     def aabb_overlap_shift(dx, dy):
-        def sh(plane, fill):
-            return jnp.pad(
-                plane, ((0, dx), (max(0, -dy), max(0, dy))),
-                constant_values=fill,
-            )[dx : dx + cwx, max(0, dy) : max(0, dy) + cwy]
         return (
-            cany & sh(cany, False)
-            & (cminx - m <= sh(cmaxx, -_BIG) + m)
-            & (sh(cminx, _BIG) - m <= cmaxx + m)
-            & (cminy - m <= sh(cmaxy, -_BIG) + m)
-            & (sh(cminy, _BIG) - m <= cmaxy + m)
+            cany & csh(cany_b, dx, dy)
+            & (cminx - m <= csh(cmaxx_b, dx, dy) + m)
+            & (csh(cminx_b, dx, dy) - m <= cmaxx + m)
+            & (cminy - m <= csh(cmaxy_b, dx, dy) + m)
+            & (csh(cminy_b, dx, dy) - m <= cmaxy + m)
         )
 
     ann_stack = jnp.stack([aabb_overlap_shift(dx, dy) for dx, dy in ann_offsets])
@@ -335,30 +340,51 @@ def rebuild_far_list(
     ref_ov = ref_ov & (ccheb >= 2 * tc)
 
     # ---- compact the three sources --------------------------------------
+    # jnp.nonzero(size=) lowers through bincount = a scatter over EVERY
+    # input element (measured 300 ms on the 39M-entry annulus stack), so
+    # never call it on a full stencil stack: reduce over the offset axis
+    # first, nonzero the small [cwx, cwy] any-plane, gather only the hit
+    # chunks' offset rows, and nonzero that [k2, n_off] strip.
     k2 = ff.max_pairs
 
-    # band: entry (o, cx, cy) → pair (chunk, chunk + adj_offsets[o])
-    b_o, b_cx, b_cy = jnp.nonzero(band_stack, size=k2, fill_value=0)
-    b_n = jnp.sum(band_stack.astype(jnp.int32))
-    adj = jnp.asarray(adj_offsets, jnp.int32)
-    band_ca = b_cx * cwy + b_cy
-    band_cb = (b_cx + adj[b_o, 0]) * cwy + (b_cy + adj[b_o, 1])
-    band_valid = jnp.arange(k2) < b_n
+    def compact_offset_stack(stack, offs_arr):
+        """[n_off, cwx, cwy] bool → (ca, cb, valid, n, overflow)."""
+        n_off = stack.shape[0]
+        any_hit = jnp.any(stack, axis=0)
+        n_chunks = jnp.sum(any_hit.astype(jnp.int32))
+        hx_, hy_ = jnp.nonzero(any_hit, size=k2, fill_value=0)
+        chunk_ok = jnp.arange(k2) < jnp.minimum(n_chunks, k2)
+        rows = stack[:, hx_, hy_].T & chunk_ok[:, None]  # [k2, n_off]
+        total = jnp.sum(stack.astype(jnp.int32))
+        e_r, e_o = jnp.nonzero(rows, size=k2, fill_value=0)
+        n = jnp.minimum(jnp.sum(rows.astype(jnp.int32)), k2)
+        ca = hx_[e_r] * cwy + hy_[e_r]
+        cb = (hx_[e_r] + offs_arr[e_o, 0]) * cwy + (hy_[e_r] + offs_arr[e_o, 1])
+        valid = jnp.arange(k2) < n
+        return ca, cb, valid, n, total - n
 
-    # annulus: entry (o, cx, cy) → pair (chunk, chunk + ann_offsets[o])
-    a_o, a_cx, a_cy = jnp.nonzero(ann_stack, size=k2, fill_value=0)
-    a_n = jnp.sum(ann_stack.astype(jnp.int32))
-    anno = jnp.asarray(ann_offsets, jnp.int32)
-    ann_ca = a_cx * cwy + a_cy
-    ann_cb = (a_cx + anno[a_o, 0]) * cwy + (a_cy + anno[a_o, 1])
-    ann_valid = jnp.arange(k2) < a_n
+    band_ca, band_cb, band_valid, b_n, b_over = compact_offset_stack(
+        band_stack, jnp.asarray(adj_offsets, jnp.int32)
+    )
+    ann_ca, ann_cb, ann_valid, a_n, a_over = compact_offset_stack(
+        ann_stack, jnp.asarray(ann_offsets, jnp.int32)
+    )
 
-    # far: entry (pair, i, j) → (ca_ids[pair, i], cb_ids[pair, j])
-    f_p, f_i, f_j = jnp.nonzero(ref_ov, size=k2, fill_value=0)
-    f_n = jnp.sum(ref_ov.astype(jnp.int32))
-    far_ca = ca_ids[f_p, f_i]
-    far_cb = cb_ids[f_p, f_j]
+    # far: entry (pair, i, j) → (ca_ids[pair, i], cb_ids[pair, j]);
+    # reduce over j first so the big nonzero runs on [k1, tc²] not
+    # [k1, tc², tc²]
+    any_j = jnp.any(ref_ov, axis=2)  # [k1, tc*tc]
+    p_i_n = jnp.sum(any_j.astype(jnp.int32))
+    r_p, r_i = jnp.nonzero(any_j, size=k2, fill_value=0)
+    row_ok = jnp.arange(k2) < jnp.minimum(p_i_n, k2)
+    jrows = ref_ov[r_p, r_i, :] & row_ok[:, None]  # [k2, tc*tc]
+    f_total = jnp.sum(ref_ov.astype(jnp.int32))
+    e_r2, f_j = jnp.nonzero(jrows, size=k2, fill_value=0)
+    f_n = jnp.minimum(jnp.sum(jrows.astype(jnp.int32)), k2)
+    far_ca = ca_ids[r_p[e_r2], r_i[e_r2]]
+    far_cb = cb_ids[r_p[e_r2], f_j]
     far_valid = jnp.arange(k2) < f_n
+    f_over = f_total - f_n
 
     ca = jnp.concatenate([band_ca, ann_ca, far_ca])
     cb = jnp.concatenate([band_cb, ann_cb, far_cb])
@@ -373,9 +399,8 @@ def rebuild_far_list(
     total = b_n + a_n + f_n
     n_pairs = jnp.minimum(total, k2)
     overflow = (
-        jnp.maximum(b_n - k2, 0) + jnp.maximum(a_n - k2, 0)
-        + jnp.maximum(f_n - k2, 0) + jnp.maximum(total - k2, 0)
-        + tile_overflow
+        b_over + a_over + f_over
+        + jnp.maximum(total - k2, 0) + tile_overflow
     )
 
     amask = alive[..., None]
@@ -456,30 +481,49 @@ def far_collision_terms(
     cwx, cwy, wp, hp = _chunk_dims(w, h, ff)
     c = ff.chunk
     cc = c * c
+    k = fl.capacity
+    ids = jnp.concatenate([fl.ca, fl.cb])  # [2k]
 
-    cm = {
-        "px": chunk_view(_pad_plane(px, wp, hp, 0.0), ff),
-        "py": chunk_view(_pad_plane(py, wp, hp, 0.0), ff),
-        "vx": chunk_view(_pad_plane(vx, wp, hp, 0.0), ff),
-        "vy": chunk_view(_pad_plane(vy, wp, hp, 0.0), ff),
-        "al": chunk_view(_pad_plane(alive, wp, hp, False), ff),
-    }
+    # Chunk-row gather WITHOUT a chunk-major transpose: view each padded
+    # plane as [wp * cwy, c] (pure reshape) — chunk (cx, cy) is the c
+    # consecutive-sublane rows {(cx·c + r)·cwy + cy} — and gather 2k·c
+    # rows per plane (rows are the unit the TPU gather is priced in).
+    row_ids = (
+        ((ids // cwy) * c)[:, None] * cwy
+        + jnp.arange(c, dtype=jnp.int32)[None, :] * cwy
+        + (ids % cwy)[:, None]
+    ).reshape(-1)  # [2k*c]
 
-    def side(ids):
-        g = {n: v[ids] for n, v in cm.items()}  # [k, cc] each
-        # global index planes derived from chunk id (no gather needed)
-        cx = (ids // cwy)[:, None]
-        cy = (ids % cwy)[:, None]
-        kk = jnp.arange(cc, dtype=jnp.int32)[None, :]
-        g["ix"] = cx * c + kk // c
-        g["iy"] = cy * c + kk % c
-        # int32 linear index: exact at any lattice size (f32 would lose
-        # unit differences past 2^24 elements)
-        g["lin"] = g["ix"] * world_h + g["iy"]
-        return g
+    def gat(plane, fill=0.0):
+        v = _pad_plane(plane.astype(jnp.float32), wp, hp, fill)
+        rows = v.reshape(wp * cwy, c)[row_ids]  # [2k*c, c]
+        return rows.reshape(2 * k, cc)
 
-    A = side(fl.ca)
-    B = side(fl.cb)
+    g_px = gat(px)
+    g_py = gat(py)
+    g_vx = gat(vx)
+    g_vy = gat(vy)
+    g_al = gat(alive)
+
+    # global index planes derived from chunk id (no gather needed);
+    # int32 linear index: exact at any lattice size (f32 would lose unit
+    # differences past 2^24 elements)
+    cx2 = (ids // cwy)[:, None]
+    cy2 = (ids % cwy)[:, None]
+    kk = jnp.arange(cc, dtype=jnp.int32)[None, :]
+    g_ix = cx2 * c + kk // c
+    g_iy = cy2 * c + kk % c
+    g_lin = g_ix * world_h + g_iy
+
+    def halves(x):
+        return x[:k], x[k:]
+
+    A = {}
+    B = {}
+    for name, val in (("px", g_px), ("py", g_py), ("vx", g_vx),
+                      ("vy", g_vy), ("al", g_al), ("ix", g_ix),
+                      ("iy", g_iy), ("lin", g_lin)):
+        A[name], B[name] = halves(val)
 
     def ax_(x):  # [k, cc] → [k, cc, 1]
         return x[:, :, None]
@@ -494,7 +538,7 @@ def far_collision_terms(
     self_pair = (fl.ca == fl.cb)[:, None, None]
     valid = (
         fl.valid[:, None, None]
-        & ax_(A["al"]) & bx_(B["al"])
+        & (ax_(A["al"]) > 0.0) & (bx_(B["al"]) > 0.0)
         & (cheb > s)
         & (~self_pair | (ax_(A["lin"]) < bx_(B["lin"])))
     )
@@ -527,17 +571,40 @@ def far_collision_terms(
 
     terms = (pdvx, pdvy, pdax, pday, co)
     # a-side receives the term; b-side the exact negation (antisymmetry)
-    a_contrib = [t.sum(axis=2) for t in terms]       # [k, cc]
-    b_contrib = [-t.sum(axis=1) for t in terms]      # [k, cc]
+    contrib = jnp.concatenate(
+        [jnp.stack([t.sum(axis=2) for t in terms], axis=1),    # [k, 5, cc]
+         jnp.stack([-t.sum(axis=1) for t in terms], axis=1)],  # [k, 5, cc]
+        axis=0,
+    ).reshape(2 * k, 5 * cc)
 
-    cn = cwx * cwy
-    out = []
-    ids = jnp.concatenate([fl.ca, fl.cb])
-    for a_t, b_t in zip(a_contrib, b_contrib):
-        data = jnp.concatenate([a_t, b_t])           # [2k, cc]
-        plane = jnp.zeros((cn, cc), jnp.float32).at[ids].add(data)
-        out.append(unchunk_view(plane, wp, hp, ff)[:w, :h])
-    return tuple(out)
+    # Scatter-add on the MXU: TPU scatter is near-serial per row, so a
+    # 2k-row .at[].add costs milliseconds.  Instead accumulate through a
+    # one-hot contraction out[x, y·5cc] = Σ_e onehotX[x, e] · (onehotY ⊗
+    # contrib)[e, y·5cc], blocked over entries to bound the [blk, cwy·5cc]
+    # intermediate.  Duplicate chunk ids sum naturally.
+    exs = (ids // cwy).astype(jnp.int32)
+    eys = (ids % cwy).astype(jnp.int32)
+    xs_iota = jnp.arange(cwx, dtype=jnp.int32)
+    ys_iota = jnp.arange(cwy, dtype=jnp.int32)
+    blk = min(2 * k, 512)
+    out_flat = jnp.zeros((cwx, cwy * 5 * cc), jnp.float32)
+    for b0 in range(0, 2 * k, blk):
+        ex = exs[b0 : b0 + blk]
+        ey = eys[b0 : b0 + blk]
+        cb_ = contrib[b0 : b0 + blk]
+        bl = ex.shape[0]  # last block may be short
+        ohx = (xs_iota[:, None] == ex[None, :]).astype(jnp.float32)
+        ohy = (ey[:, None] == ys_iota[None, :]).astype(jnp.float32)
+        d = (ohy[:, :, None] * cb_[:, None, :]).reshape(bl, cwy * 5 * cc)
+        out_flat = out_flat + jnp.dot(
+            ohx, d, preferred_element_type=jnp.float32
+        )
+    planes = (
+        out_flat.reshape(cwx, cwy, 5, c, c)
+        .transpose(2, 0, 3, 1, 4)
+        .reshape(5, wp, hp)[:, :w, :h]
+    )
+    return tuple(planes[i] for i in range(5))
 
 
 def empty_far_list(w: int, h: int, ff: FarFieldSpec) -> FarList:

@@ -77,8 +77,14 @@ EDGE_OFFSETS = ((0, 1), (1, 0), (1, 1), (1, -1))
 N_CONSTS = 20
 
 
-def _kernel(consts, mut_ref, immut_ref, out_ref, mscr2, iscr2, oscr, sems,
-            *, tile_w: int, world_h: int, stencil: int, quantized: bool):
+def _kernel(consts, *refs, tile_w: int, world_h: int, stencil: int,
+            quantized: bool, has_far: bool):
+    if has_far:
+        (mut_ref, immut_ref, far_ref, out_ref,
+         mscr2, iscr2, fscr2, oscr, sems) = refs
+    else:
+        mut_ref, immut_ref, out_ref, mscr2, iscr2, oscr, sems = refs
+        far_ref = fscr2 = None
     i = pl.program_id(0)
     n_slabs = pl.num_programs(0)
     bw = tile_w + 2 * PAD_W
@@ -100,6 +106,13 @@ def _kernel(consts, mut_ref, immut_ref, out_ref, mscr2, iscr2, oscr, sems,
             immut_ref.at[:, pl.ds(slab * tile_w, bw), :],
             iscr2.at[dst_slot], sems.at[2 * dst_slot + 1],
         ).start()
+        if has_far:
+            # far deltas are consumed center-only: no halo in the window
+            pltpu.make_async_copy(
+                far_ref.at[:, pl.ds(PAD_W + slab * tile_w, tile_w),
+                           pl.ds(PAD_H, th)],
+                fscr2.at[dst_slot], sems.at[5 + dst_slot],
+            ).start()
 
     @pl.when(i == 0)
     def _():
@@ -118,6 +131,12 @@ def _kernel(consts, mut_ref, immut_ref, out_ref, mscr2, iscr2, oscr, sems,
         immut_ref.at[:, pl.ds(i * tile_w, bw), :], iscr2.at[slot],
         sems.at[2 * slot + 1],
     ).wait()
+    if has_far:
+        pltpu.make_async_copy(
+            far_ref.at[:, pl.ds(PAD_W + i * tile_w, tile_w),
+                       pl.ds(PAD_H, th)],
+            fscr2.at[slot], sems.at[5 + slot],
+        ).wait()
     mscr = mscr2.at[slot]
     iscr = iscr2.at[slot]
 
@@ -293,6 +312,14 @@ def _kernel(consts, mut_ref, immut_ref, out_ref, mscr2, iscr2, oscr, sems,
         day = ctr_parts[3] + acc[3][ctr_sl]
         dyn = ctr_parts[4] + acc[4][ctr_sl]
 
+    if has_far:
+        fscr = fscr2.at[slot]
+        dvx = dvx + fscr[0]
+        dvy = dvy + fscr[1]
+        dax = dax + fscr[2]
+        day = day + fscr[3]
+        dyn = dyn + fscr[4]
+
     # ---------------- integration (center; ≙ compute.wgsl:171-199) ------
     px = ctr(px_b)
     py = ctr(py_b)
@@ -392,18 +419,9 @@ def padded_dims(w: int, h: int, tile_w: int = 128) -> Tuple[int, int]:
     return wr, hr
 
 
-def pack_lattice(state, tile_w: int = 128) -> Tuple[jax.Array, jax.Array]:
-    """LatticeState → (mut [26,Wp,Hp], immut [22,Wp,Hp]) stacked+padded.
-    Dead interior padding (alive=0) rounds W/H to aligned multiples."""
-    w, h = state.shape
-    wr, hr = padded_dims(w, h, tile_w)
-
-    def pad(x):
-        return jnp.pad(
-            x.astype(jnp.float32),
-            ((PAD_W, PAD_W + wr - w), (PAD_H, PAD_H + hr - h)),
-        )
-
+def raw_stacks(state) -> Tuple[jax.Array, jax.Array]:
+    """LatticeState → unpadded (mut [26,W,H], immut [22,W,H]) f32 stacks
+    in the kernel's plane order."""
     mut = [state.pos[..., 0], state.pos[..., 1],
            state.vel[..., 0], state.vel[..., 1],
            state.acc[..., 0], state.acc[..., 1]]
@@ -414,8 +432,23 @@ def pack_lattice(state, tile_w: int = 128) -> Tuple[jax.Array, jax.Array]:
              state.pinned.astype(jnp.float32)]
     for e in state.edges:
         immut += [e.spring, e.damp, e.yield_strain, e.strain_limit, e.length]
-    return (jnp.stack([pad(x) for x in mut]),
-            jnp.stack([pad(x) for x in immut]))
+    return (jnp.stack([x.astype(jnp.float32) for x in mut]),
+            jnp.stack([x.astype(jnp.float32) for x in immut]))
+
+
+def pack_lattice(state, tile_w: int = 128) -> Tuple[jax.Array, jax.Array]:
+    """LatticeState → (mut [26,Wp,Hp], immut [22,Wp,Hp]) stacked+padded.
+    Dead interior padding (alive=0) rounds W/H to aligned multiples."""
+    w, h = state.shape
+    wr, hr = padded_dims(w, h, tile_w)
+    mut, immut = raw_stacks(state)
+
+    def pad(x):
+        return jnp.pad(
+            x, ((0, 0), (PAD_W, PAD_W + wr - w), (PAD_H, PAD_H + hr - h))
+        )
+
+    return pad(mut), pad(immut)
 
 
 def unpack_lattice(mut: jax.Array, immut: jax.Array, template):
@@ -465,29 +498,39 @@ def _consts_vector(consts: PhysicsConstants, uin: UserInput,
 
 def fused_substep_call(mut, immut, consts_vec, *, w: int, h: int,
                        stencil: int, quantized: bool,
-                       tile_w: int = 128, interpret: bool = False):
+                       tile_w: int = 128, interpret: bool = False,
+                       far=None):
     """One fused substep over packed stacks (w, h = PADDED interior dims);
-    returns the new mut stack."""
+    returns the new mut stack.  ``far``: optional [5, Wt, Ht] stack of
+    far-field collision deltas (dvx dvy dax day dyn — ops/farfield.py) in
+    the same padded layout as ``mut``, added to the stencil's terms."""
     if w % tile_w or h % 128:
         raise ValueError(f"padded interior ({w},{h}) misaligned")
     gw = w // tile_w
     bw, bh = tile_w + 2 * PAD_W, h + 2 * PAD_H
+    has_far = far is not None
     kernel = functools.partial(
         _kernel, tile_w=tile_w, world_h=h, stencil=stencil,
-        quantized=quantized,
+        quantized=quantized, has_far=has_far,
     )
+    scratch = [
+        pltpu.VMEM((2, N_MUT, bw, bh), jnp.float32),
+        pltpu.VMEM((2, N_IMMUT, bw, bh), jnp.float32),
+    ]
+    if has_far:
+        scratch.append(pltpu.VMEM((2, 5, tile_w, h), jnp.float32))
+    scratch += [
+        pltpu.VMEM((N_MUT, tile_w, h), jnp.float32),
+        pltpu.SemaphoreType.DMA((7,)),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(gw,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * (3 if has_far else 2),
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        scratch_shapes=[
-            pltpu.VMEM((2, N_MUT, bw, bh), jnp.float32),
-            pltpu.VMEM((2, N_IMMUT, bw, bh), jnp.float32),
-            pltpu.VMEM((N_MUT, tile_w, h), jnp.float32),
-            pltpu.SemaphoreType.DMA((5,)),
-        ],
+        scratch_shapes=scratch,
     )
+    args = (consts_vec, mut, immut, far) if has_far else (consts_vec, mut, immut)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -499,7 +542,7 @@ def fused_substep_call(mut, immut, consts_vec, *, w: int, h: int,
         # PREVIOUS substep's values of tile i's columns; the scan
         # ping-pongs buffers instead (read != write).
         interpret=interpret,
-    )(consts_vec, mut, immut)
+    )(*args)
 
 
 @functools.partial(
@@ -520,6 +563,73 @@ def fused_frame(mut, immut, consts: PhysicsConstants, uin: UserInput,
         return fused_substep_call(
             m, immut, cvec, w=w, h=h, stencil=stencil,
             quantized=quantized, tile_w=tile_w, interpret=interpret,
+        ), None
+
+    out, _ = jax.lax.scan(body, mut, None, length=cfg.subticks)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# far-field (index-distant fold/tear contacts) on the packed fused path.
+# The candidate list and pair math operate directly in the PADDED plane
+# coordinate system — pad cells are dead (alive=0 in the immut stack), so
+# the chunk grid simply carries ~6% empty chunks and no re-layout is
+# needed.  See ops/farfield.py for semantics.
+
+
+def rebuild_far_list_packed(mut, immut, *, s: int, ff, radius: float):
+    from ..farfield import rebuild_far_list
+
+    pos = jnp.stack([mut[PX], mut[PY]], axis=-1)
+    alive = immut[ALIVE] > 0.0
+    return rebuild_far_list(pos, alive, s=s, ff=ff, radius=radius)
+
+
+@jax.jit
+def packed_far_motion(mut, immut, fl):
+    """(max COM-relative displacement since rebuild, max COM-relative
+    speed) for the packed stacks — the rebuild-trigger inputs."""
+    from ..farfield import displacement_check, max_relative_speed
+
+    pos = jnp.stack([mut[PX], mut[PY]], axis=-1)
+    vel = jnp.stack([mut[VX], mut[VY]], axis=-1)
+    alive = immut[ALIVE] > 0.0
+    return displacement_check(pos, alive, fl), max_relative_speed(vel, alive)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "cfg", "ffspec", "tile_w", "interpret"),
+    donate_argnames=("mut",),
+)
+def fused_frame_far(mut, immut, fl, consts: PhysicsConstants,
+                    uin: UserInput, spec, cfg: StaticConfig, ffspec,
+                    tile_w: int = 128, interpret: bool = False):
+    """One frame with far-field contacts: each substep computes the far
+    delta planes in XLA from the carry (gather → 16×16 cross pair math →
+    scatter, ops/farfield.py) and the fused kernel consumes them."""
+    from ..farfield import far_collision_terms
+
+    w, h = padded_dims(spec.width, spec.height, tile_w)
+    wt, ht = w + 2 * PAD_W, h + 2 * PAD_H
+    cvec = _consts_vector(consts, uin, cfg, spec.height)
+    quantized = cfg.force_mode == "quantized"
+    stencil = 0 if cfg.collision_mode == "none" else spec.collision_stencil
+    alive_plane = immut[ALIVE] > 0.0
+
+    def body(m, _):
+        deltas = far_collision_terms(
+            m[PX], m[PY], m[VX], m[VY], alive_plane, fl,
+            s=spec.collision_stencil, ff=ffspec,
+            radius=cfg.particle_radius, dt=cfg.dt,
+            ecoeff=(consts.elasticity + 1.0) * 0.5,
+            friction=consts.friction, world_h=ht,
+        )
+        farq = jnp.stack(deltas)
+        return fused_substep_call(
+            m, immut, cvec, w=w, h=h, stencil=stencil,
+            quantized=quantized, tile_w=tile_w, interpret=interpret,
+            far=farq,
         ), None
 
     out, _ = jax.lax.scan(body, mut, None, length=cfg.subticks)

@@ -64,9 +64,12 @@ def lattice_spatial_frame_fn(
     ext_spec = LatticeSpec(
         w_loc + 2 * hx, spec.height, collision_stencil=spec.collision_stencil
     )
-    # the Pallas collision kernel has no global-lin offset input yet;
-    # sharded blocks use the XLA stencil
-    cfg = dataclasses.replace(cfg, use_pallas=False)
+    # NOTE: no global-index plumbing is needed for either collision path:
+    # the coincident tiebreak sign(lin_i − lin_j) equals sign(−(dx·H+dy)),
+    # a per-offset constant — translation-invariant, so local indices on
+    # the ghost-extended block give the identical result (the
+    # ``lin_x_offset`` argument of _stencil_collisions is vestigial).
+    # ``cfg.use_pallas`` therefore passes straight through to the slabs.
     fwd = [(i, i + 1) for i in range(n_dev - 1)]
     bwd = [(i + 1, i) for i in range(n_dev - 1)]
 

@@ -221,6 +221,45 @@ def test_lattice_engine_farfield_end_to_end():
     assert float(np.median(y_top - y_bottom[::-1])) > 0.0
 
 
+def test_fused_far_matches_xla_far():
+    """fused_frame_far (Pallas, interpret mode) == the XLA lattice far
+    path on the folded strip: the kernel's extra far-delta input plane
+    must carry exactly the same physics."""
+    from softbody_tpu.ops.pallas.fused_substep import (
+        fused_frame_far,
+        pack_lattice,
+        rebuild_far_list_packed,
+        unpack_lattice,
+    )
+
+    ls = hairpin()
+    w, h = ls.shape
+    spec = LatticeSpec(w, h, collision_stencil=2)
+    cfg = StaticConfig(subticks=2, collision_mode="allpairs",
+                       particle_radius=RADIUS, force_mode="quantized")
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+    ff = dataclasses.replace(FF, skin=8.0)
+
+    mut, immut = pack_lattice(ls, tile_w=8)
+    fl_p = rebuild_far_list_packed(mut, immut, s=2, ff=ff, radius=RADIUS)
+    assert int(fl_p.n_pairs) > 0
+    mut = fused_frame_far(mut, immut, fl_p, consts, uin, spec, cfg, ff,
+                          tile_w=8, interpret=True)
+    got = unpack_lattice(mut, immut, ls)
+
+    fl = rebuild_far_list(ls.pos, ls.alive, s=2, ff=ff, radius=RADIUS)
+    ref = ls
+    for _ in range(cfg.subticks):
+        ref = lattice_substep_jit(ref, consts, uin, spec, cfg,
+                                  far=fl, ffspec=ff)
+    np.testing.assert_allclose(
+        np.asarray(got.pos), np.asarray(ref.pos), rtol=0, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.vel), np.asarray(ref.vel), rtol=0, atol=1e-3
+    )
+
+
 def test_displacement_trigger_ignores_translation():
     ls = hairpin()
     fl = rebuild_far_list(ls.pos, ls.alive, s=2, ff=FF, radius=RADIUS)

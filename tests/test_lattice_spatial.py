@@ -33,13 +33,15 @@ def scene(w=32, h=12, spacing=18.0):
     return ls, spec
 
 
-@pytest.mark.parametrize("stencil", [0, 2])
-def test_sharded_matches_single(stencil):
+@pytest.mark.parametrize("stencil,use_pallas", [(0, False), (2, False),
+                                                (2, True)])
+def test_sharded_matches_single(stencil, use_pallas):
     w, h = 32, 12
     ls, _ = scene(w, h)
     spec = LatticeSpec(w, h, collision_stencil=stencil)
     cfg = StaticConfig(subticks=4, particle_radius=10.0,
-                       collision_mode="allpairs" if stencil else "none")
+                       collision_mode="allpairs" if stencil else "none",
+                       use_pallas=use_pallas)
     consts, uin = PhysicsConstants.default(), UserInput.none()
     mesh = make_mesh(8, dp=1)
 
