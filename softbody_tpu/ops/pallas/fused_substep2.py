@@ -1,0 +1,648 @@
+"""Pallas TPU kernel v2: fused lattice substep, restructured for the
+memory system (successor of fused_substep.py's kernel; same physics,
+compute.wgsl:90-203 semantics).
+
+What changed vs v1 and why (each a measured cost in v1):
+
+1. **18-plane hot carry** — per-edge ``strain``/``stress`` exist only for
+   visualization (compute.wgsl:122-124; only the frame's final values are
+   ever rendered).  v1 carried them through every substep: 8 of 26 mut
+   planes of pure observability traffic.  v2's hot carry is
+   ``[18, Wp, Hp]`` (particle planes + per-class target/last/alive); the
+   frame runs ``subticks−1`` hot substeps and one final *observing*
+   substep that additionally writes the ``[8, Wp, Hp]`` obs stack.
+   (Retention nuance: an edge that breaks mid-frame keeps its previous
+   frame's strain/stress — it is dead, so nothing renders it.)
+
+2. **Scalar edge parameters** — spring/damp/yield/limit/rest-length are
+   uniform per edge class in every scene family (make_lattice writes
+   constants), yet v1 streamed them as 20 HBM planes per substep.  v2
+   passes them in the scalar-prefetch vector (20 extra lanes) and drops
+   the whole immutable plane stack to [2] (alive, pinned).  Scenes with
+   spatially-varying edge parameters keep using the v1 kernel
+   (pack_lattice2 refuses them).
+
+3. **Pre-rotated lane copies + full-offset evaluation** — v1 evaluated
+   each pair once (half offsets) and mirrored the result to the partner,
+   which re-slices *computed* arrays at ±1/±2 lane offsets: Mosaic turns
+   every misaligned read into a lane rotation (v1's dominant cost).  v2
+   materializes each needed (plane, Δy) rotation ONCE into VMEM scratch,
+   then evaluates the full offset set with lane-ALIGNED reads (sublane
+   offsets only).  Twice the pair arithmetic — the VPU is idle anyway —
+   for ~6× fewer lane rotations.  Force symmetry is preserved exactly:
+   the partner-site evaluation performs the identical float ops on the
+   identical operands, and quantized (int32) accumulation commutes.
+
+4. **Double-buffered output DMA** — v1 waited on each slab's output copy
+   before computing the next slab; v2 ping-pongs two output buffers and
+   waits one slab later.
+
+Parity: tested against the XLA stencil path and the v1 kernel in
+interpret mode (tests/test_fused2.py).  Collision sums accumulate in a
+different (full-offset) order than v1's half-trick, so f32 trajectories
+agree to tolerance, not bitwise; quantized spring sums stay bit-exact.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import (
+    BEAM_STRESS_SCALE,
+    PARTICLE_FORCE_SCALE,
+    PhysicsConstants,
+    StaticConfig,
+    UserInput,
+)
+from .fused_substep import (
+    EDGE_OFFSETS,
+    N_CONSTS,
+    PAD_H,
+    PAD_W,
+    _consts_vector,
+    padded_dims,
+)
+
+# hot mut plane indices (v2)
+PX, PY, VX, VY, AX, AY = range(6)
+TGT, LST, EAL = range(3)     # + 6 + c*3
+N_HOT = 18
+# obs plane indices
+STR, STS = 0, 1              # + c*2
+N_OBS = 8
+# immut planes
+ALIVE, PINNED = 0, 1
+N_IMM = 2
+# per-class scalar params appended to the consts vector
+EC_SPR, EC_DMP, EC_YLD, EC_LIM, EC_LEN = range(5)
+
+
+def _ec(consts, c, which):
+    return consts[N_CONSTS + c * 5 + which]
+
+
+def _rotation_specs(stencil: int):
+    """Ordered (kind, plane, Δy) list of the lane rotations one substep
+    needs; shared by the kernel and the scratch-shape computation."""
+    s = stencil
+    ys = tuple(dy for dy in range(-max(s, 1), max(s, 1) + 1) if dy)
+    specs = []
+    for p in (PX, PY, VX, VY):
+        if p in (VX, VY) and not s:
+            continue
+        for dy in (ys if s else (-1, 1)):
+            specs.append(("m", p, dy))
+    for dy in (ys if s else (-1, 1)):
+        specs.append(("i", ALIVE, dy))
+    for c, (_dx, dy) in enumerate(EDGE_OFFSETS):
+        if dy:
+            for p in (6 + c * 3 + TGT, 6 + c * 3 + LST, 6 + c * 3 + EAL):
+                specs.append(("m", p, -dy))
+    out = []
+    for sp in specs:
+        if sp not in out:
+            out.append(sp)
+    return out
+
+
+def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
+             quantized: bool, has_far: bool, obs: bool):
+    idx = 0
+    mut_ref = refs[idx]; idx += 1
+    immut_ref = refs[idx]; idx += 1
+    far_ref = obs_in_ref = None
+    if has_far:
+        far_ref = refs[idx]; idx += 1
+    if obs:
+        obs_in_ref = refs[idx]; idx += 1
+    out_ref = refs[idx]; idx += 1
+    obs_ref = None
+    if obs:
+        obs_ref = refs[idx]; idx += 1
+    mscr2 = refs[idx]; idx += 1
+    iscr2 = refs[idx]; idx += 1
+    fscr2 = None
+    if has_far:
+        fscr2 = refs[idx]; idx += 1
+    oscr2 = refs[idx]; idx += 1
+    obscr = None
+    if obs:
+        obscr = refs[idx]; idx += 1
+    prscr = refs[idx]; idx += 1
+    sems = refs[idx]; idx += 1
+
+    i = pl.program_id(0)
+    n_slabs = pl.num_programs(0)
+    bw = tile_w + 2 * PAD_W
+    bh = world_h + 2 * PAD_H
+    th = world_h
+    s = stencil
+
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    # ---------------- input pipeline (double-buffered) -------------------
+    def start_in(dst_slot, slab):
+        pltpu.make_async_copy(
+            mut_ref.at[:, pl.ds(slab * tile_w, bw), :],
+            mscr2.at[dst_slot], sems.at[2 * dst_slot],
+        ).start()
+        pltpu.make_async_copy(
+            immut_ref.at[:, pl.ds(slab * tile_w, bw), :],
+            iscr2.at[dst_slot], sems.at[2 * dst_slot + 1],
+        ).start()
+        if has_far:
+            pltpu.make_async_copy(
+                far_ref.at[:, pl.ds(PAD_W + slab * tile_w, tile_w),
+                           pl.ds(PAD_H, th)],
+                fscr2.at[dst_slot], sems.at[4 + dst_slot],
+            ).start()
+
+    @pl.when(i == 0)
+    def _():
+        start_in(slot, i)
+
+    @pl.when(i + 1 < n_slabs)
+    def _():
+        start_in(nxt, i + 1)
+
+    if obs:
+        # previous obs values (retention for inactive edges): own slab's
+        # center window, single-buffered — the observing call runs once
+        # per frame
+        obs_in_cp = pltpu.make_async_copy(
+            obs_in_ref.at[:, pl.ds(PAD_W + i * tile_w, tile_w),
+                          pl.ds(PAD_H, th)],
+            obscr, sems.at[9],
+        )
+        obs_in_cp.start()
+
+    pltpu.make_async_copy(
+        mut_ref.at[:, pl.ds(i * tile_w, bw), :], mscr2.at[slot],
+        sems.at[2 * slot],
+    ).wait()
+    pltpu.make_async_copy(
+        immut_ref.at[:, pl.ds(i * tile_w, bw), :], iscr2.at[slot],
+        sems.at[2 * slot + 1],
+    ).wait()
+    if has_far:
+        pltpu.make_async_copy(
+            far_ref.at[:, pl.ds(PAD_W + i * tile_w, tile_w),
+                       pl.ds(PAD_H, th)],
+            fscr2.at[slot], sems.at[4 + slot],
+        ).wait()
+    mscr = mscr2.at[slot]
+    iscr = iscr2.at[slot]
+
+    if obs:
+        obs_in_cp.wait()
+
+    # ---------------- pre-rotated lane copies ----------------------------
+    # one lane rotation per (plane, Δy); every later read is lane-aligned
+    rot_slots = {sp: j for j, sp in enumerate(_rotation_specs(s))}
+    for (kind, p, dy), sl_ in rot_slots.items():
+        src = mscr[p] if kind == "m" else iscr[p]
+        if dy > 0:
+            prscr[sl_, :, : bh - dy] = src[:, dy:]
+        else:
+            prscr[sl_, :, -dy:] = src[:, : bh + dy]
+
+    def rd(kind, p, ox, oy):
+        """Center-tile read of plane ``p`` at offset (ox, oy): lane-aligned
+        (rotated copies absorb oy)."""
+        if oy == 0:
+            src = mscr[p] if kind == "m" else iscr[p]
+        else:
+            src = prscr[rot_slots[(kind, p, oy)]]
+        return src[PAD_W + ox : PAD_W + ox + tile_w, PAD_H : PAD_H + th]
+
+    radius = consts[0]
+    dt = consts[1]
+    two_r = 2.0 * radius
+    inv_dt2 = 1.0 / (dt * dt)
+
+    al_c = rd("i", ALIVE, 0, 0) > 0.0
+    pin_c = rd("i", PINNED, 0, 0) > 0.0
+
+    # ---------------- spring pass (full evaluation at both endpoints) ----
+    acc_t = jnp.int32 if quantized else jnp.float32
+    fx_c = jnp.zeros((tile_w, th), acc_t)
+    fy_c = jnp.zeros((tile_w, th), acc_t)
+    hot_updates = []
+    obs_updates = []
+
+    def spring_eval(c, dx, dy, lower):
+        """Force this center tile receives from class-c edges where the
+        center is the lower (lower=True) / upper endpoint.  The float ops
+        are the same sequence on the same operands at both sites, so the
+        exchanged force is exactly antisymmetric."""
+        mb = 6 + c * 3
+        if lower:
+            ea = rd("m", mb + EAL, 0, 0) > 0.0
+            a_ok = al_c & (rd("i", ALIVE, dx, dy) > 0.0)
+            ddx = rd("m", PX, dx, dy) - rd("m", PX, 0, 0)
+            ddy = rd("m", PY, dx, dy) - rd("m", PY, 0, 0)
+            tgt = rd("m", mb + TGT, 0, 0)
+            lst = rd("m", mb + LST, 0, 0)
+        else:
+            ea = rd("m", mb + EAL, -dx, -dy) > 0.0
+            a_ok = al_c & (rd("i", ALIVE, -dx, -dy) > 0.0)
+            ddx = rd("m", PX, 0, 0) - rd("m", PX, -dx, -dy)
+            ddy = rd("m", PY, 0, 0) - rd("m", PY, -dx, -dy)
+            tgt = rd("m", mb + TGT, -dx, -dy)
+            lst = rd("m", mb + LST, -dx, -dy)
+        active = ea & a_ok
+        raw = jnp.sqrt(ddx * ddx + ddy * ddy)
+        zero = raw == 0.0
+        ddx = jnp.where(zero, 0.0, ddx)
+        ddy = jnp.where(zero, jnp.float32(-1.0e-10), ddy)
+        ln = jnp.where(zero, jnp.float32(1.0e-10), raw)
+        fmag = (tgt - ln) * _ec(consts, c, EC_SPR) + (lst - ln) * _ec(
+            consts, c, EC_DMP
+        )
+        inv_ln = 1.0 / ln
+        fvx = jnp.where(active, fmag * ddx * inv_ln, 0.0)
+        fvy = jnp.where(active, fmag * ddy * inv_ln, 0.0)
+        return active, ln, fmag, fvx, fvy, tgt, lst
+
+    for c, (dx, dy) in enumerate(EDGE_OFFSETS):
+        mb = 6 + c * 3
+        e_len = _ec(consts, c, EC_LEN)
+        e_yld = _ec(consts, c, EC_YLD)
+        e_lim = _ec(consts, c, EC_LIM)
+
+        # lower endpoint: edge owned here; updates + −f
+        active, ln, fmag, fvx, fvy, tgt, lst = spring_eval(c, dx, dy, True)
+        strain = (ln - tgt) / e_len
+        yielded = jnp.abs(strain) > e_yld
+        new_tgt = jnp.where(yielded, ln - e_yld * e_len * jnp.sign(strain), tgt)
+        breaks = jnp.abs(ln - e_len) > e_len * e_lim
+        hot_updates.append((
+            jnp.where(active, new_tgt, tgt),
+            jnp.where(active, ln, lst),
+            jnp.where(active & breaks, 0.0, rd("m", mb + EAL, 0, 0)),
+        ))
+        if obs:
+            obs_updates.append((
+                jnp.where(active, jnp.abs(strain) / e_yld,
+                          obscr[c * 2 + STR]),
+                jnp.where(active, fmag * jnp.float32(BEAM_STRESS_SCALE),
+                          obscr[c * 2 + STS]),
+            ))
+
+        # upper endpoint: mirror evaluation; +f (identical float value)
+        _, _, _, gvx, gvy, _, _ = spring_eval(c, dx, dy, False)
+
+        if quantized:
+            fs = jnp.float32(PARTICLE_FORCE_SCALE)
+            fvx = jnp.trunc(fvx * fs).astype(jnp.int32)
+            fvy = jnp.trunc(fvy * fs).astype(jnp.int32)
+            gvx = jnp.trunc(gvx * fs).astype(jnp.int32)
+            gvy = jnp.trunc(gvy * fs).astype(jnp.int32)
+        fx_c = fx_c - fvx + gvx
+        fy_c = fy_c - fvy + gvy
+
+    if quantized:
+        bfx = fx_c.astype(jnp.float32) / jnp.float32(PARTICLE_FORCE_SCALE)
+        bfy = fy_c.astype(jnp.float32) / jnp.float32(PARTICLE_FORCE_SCALE)
+    else:
+        bfx, bfy = fx_c, fy_c
+
+    # ---------------- collision pass (full offset set) -------------------
+    if s == 0:
+        z = jnp.zeros((tile_w, th), jnp.float32)
+        dvx = dvy = dax = day = dyn = z
+    else:
+        ecoeff = consts[7]
+        friction = consts[8]
+        dvx = jnp.zeros((tile_w, th), jnp.float32)
+        dvy = jnp.zeros((tile_w, th), jnp.float32)
+        dax = jnp.zeros((tile_w, th), jnp.float32)
+        day = jnp.zeros((tile_w, th), jnp.float32)
+        dyn = jnp.zeros((tile_w, th), jnp.float32)
+        c_px = rd("m", PX, 0, 0)
+        c_py = rd("m", PY, 0, 0)
+        c_vx = rd("m", VX, 0, 0)
+        c_vy = rd("m", VY, 0, 0)
+        offsets = [
+            (ox, oy)
+            for ox in range(-s, s + 1)
+            for oy in range(-s, s + 1)
+            if (ox, oy) != (0, 0)
+        ]
+        for ox, oy in offsets:
+            o_al = rd("i", ALIVE, ox, oy) > 0.0
+            valid = al_c & o_al
+            ddx = rd("m", PX, ox, oy) - c_px
+            ddy = rd("m", PY, ox, oy) - c_py
+            dist = jnp.sqrt(ddx * ddx + ddy * ddy)
+            coincident = valid & (dist == 0.0)
+            overlap = valid & (dist > 0.0) & (dist < two_r)
+            # sign(lin_i − lin_j) = −sign(ox·H + oy): per-offset constant
+            co_sign = jnp.float32(-np.sign(ox * world_h + oy))
+            dyn = dyn + jnp.where(coincident, co_sign, 0.0)
+            inv = jnp.where(overlap, 1.0 / jnp.where(overlap, dist, 1.0), 0.0)
+            nx_ = ddx * inv
+            ny_ = ddy * inv
+            rvx = c_vx - rd("m", VX, ox, oy)
+            rvy = c_vy - rd("m", VY, ox, oy)
+            imp_n = ecoeff * (rvx * nx_ + rvy * ny_)
+            max_fric = imp_n * friction
+            imp_t = jnp.minimum(
+                jnp.maximum(rvx * -ny_ + rvy * nx_, -max_fric), max_fric
+            )
+            dvx = dvx + jnp.where(overlap, -(imp_n * nx_ + imp_t * -ny_), 0.0)
+            dvy = dvy + jnp.where(overlap, -(imp_n * ny_ + imp_t * nx_), 0.0)
+            clip = (two_r - dist) * 0.5 * inv_dt2
+            dax = dax + jnp.where(overlap, -nx_ * clip, 0.0)
+            day = day + jnp.where(overlap, -ny_ * clip, 0.0)
+
+    if has_far:
+        fscr = fscr2.at[slot]
+        dvx = dvx + fscr[0]
+        dvy = dvy + fscr[1]
+        dax = dax + fscr[2]
+        day = day + fscr[3]
+        dyn = dyn + fscr[4]
+
+    # ---------------- integration (≙ compute.wgsl:171-199) ---------------
+    px = rd("m", PX, 0, 0)
+    py = rd("m", PY, 0, 0)
+    vx = rd("m", VX, 0, 0)
+    vy = rd("m", VY, 0, 0)
+    ax = rd("m", AX, 0, 0)
+    ay = rd("m", AY, 0, 0)
+
+    p_x = px
+    p_y = py + jnp.where(al_c, dyn, 0.0)
+    v_x = vx + dvx
+    v_y = vy + dvy
+    a_x = ax + dax + consts[3]
+    a_y = ay + day + consts[4]
+
+    speed = jnp.sqrt(v_x * v_x + v_y * v_y)
+    moving = speed > 0.0
+    inv_speed = 1.0 / jnp.where(moving, speed, 1.0)
+    a_x = a_x - jnp.where(
+        moving, consts[9] * jnp.abs(v_x) ** consts[10] * v_x * inv_speed, 0.0
+    )
+    a_y = a_y - jnp.where(
+        moving, consts[9] * jnp.abs(v_y) ** consts[10] * v_y * inv_speed, 0.0
+    )
+    ustr = consts[11]
+    a_x = a_x + consts[17] * ustr
+    a_y = a_y + consts[18] * ustr
+    mdx = consts[13] - p_x
+    mdy = consts[14] - p_y
+    grabbed = (consts[12] > 0.0) & (
+        jnp.sqrt(mdx * mdx + mdy * mdy) < radius * 10.0
+    )
+    a_x = a_x + jnp.where(grabbed, (consts[15] - v_x) * ustr - consts[3], 0.0)
+    a_y = a_y + jnp.where(grabbed, (consts[16] - v_y) * ustr - consts[4], 0.0)
+    a_x = a_x + bfx
+    a_y = a_y + bfy
+
+    v_x = v_x + a_x * dt
+    v_y = v_y + a_y * dt
+    p_x = p_x + v_x * dt
+    p_y = p_y + v_y * dt
+
+    lo = radius
+    hi = consts[2] - radius
+    cx_ = jnp.clip(p_x, lo, hi)
+    cy_ = jnp.clip(p_y, lo, hi)
+    hit_x = p_x != cx_
+    hit_y = p_y != cy_
+    be = consts[5]
+    bf = consts[6]
+    fric_y = jnp.sign(v_y) * bf * jnp.abs(v_x) * (1.0 + be)
+    na_y = jnp.where(hit_x, 0.0 - jnp.minimum(0.0, fric_y), 0.0)
+    nv_x = jnp.where(hit_x, v_x * -be, v_x)
+    fric_x = jnp.sign(nv_x) * bf * jnp.abs(v_y) * (1.0 + be)
+    na_x = jnp.where(hit_y, 0.0 - jnp.minimum(0.0, fric_x), 0.0)
+    nv_y = jnp.where(hit_y, v_y * -be, v_y)
+
+    keep = al_c & ~pin_c
+    oscr = oscr2.at[slot]
+    oscr[PX, :, :] = jnp.where(keep, cx_, px)
+    oscr[PY, :, :] = jnp.where(keep, cy_, py)
+    oscr[VX, :, :] = jnp.where(keep, nv_x, vx)
+    oscr[VY, :, :] = jnp.where(keep, nv_y, vy)
+    oscr[AX, :, :] = jnp.where(keep, na_x, ax)
+    oscr[AY, :, :] = jnp.where(keep, na_y, ay)
+    for c in range(4):
+        mb = 6 + c * 3
+        tgt, lst, eal = hot_updates[c]
+        oscr[mb + TGT, :, :] = tgt
+        oscr[mb + LST, :, :] = lst
+        oscr[mb + EAL, :, :] = eal
+
+    # ---------------- output pipeline (double-buffered) ------------------
+    def out_copy(src_slot, slab):
+        return pltpu.make_async_copy(
+            oscr2.at[src_slot],
+            out_ref.at[:, pl.ds(PAD_W + slab * tile_w, tile_w),
+                       pl.ds(PAD_H, th)],
+            sems.at[6 + src_slot],
+        )
+
+    # the copy we started two slabs ago used this slot — drain it first
+    @pl.when(i >= 2)
+    def _():
+        out_copy(slot, i - 2).wait()
+
+    out_copy(slot, i).start()
+
+    if obs:
+        for c in range(4):
+            strn, sts = obs_updates[c]
+            obscr[c * 2 + STR, :, :] = strn
+            obscr[c * 2 + STS, :, :] = sts
+        cp = pltpu.make_async_copy(
+            obscr,
+            obs_ref.at[:, pl.ds(PAD_W + i * tile_w, tile_w),
+                       pl.ds(PAD_H, th)],
+            sems.at[8],
+        )
+        cp.start()
+        cp.wait()
+
+    # drain pending output copies before the kernel retires
+    @pl.when(i == n_slabs - 1)
+    def _():
+        out_copy(slot, i).wait()
+
+    @pl.when((i == n_slabs - 1) & (n_slabs > 1))
+    def _():
+        out_copy(nxt, i - 1).wait()
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+
+
+def uniform_edge_consts(state) -> Optional[jax.Array]:
+    """Per-class scalar (spring, damp, yield, limit, length) vector, or
+    None if any edge plane varies spatially (→ use the v1 kernel).
+    Host-side check (concrete values)."""
+    vals = []
+    for e in state.edges:
+        for plane in (e.spring, e.damp, e.yield_strain, e.strain_limit,
+                      e.length):
+            a = np.asarray(plane)
+            v = a.reshape(-1)[0]
+            if not (a == v).all():
+                return None
+            vals.append(np.float32(v))
+    return jnp.asarray(vals, jnp.float32)
+
+
+def pack_lattice2(state, tile_w: int = 128):
+    """LatticeState → (hot [18,Wp,Hp], obs [8,Wp,Hp], immut [2,Wp,Hp],
+    edge_consts [20]). Raises if edge parameters vary spatially."""
+    ec = uniform_edge_consts(state)
+    if ec is None:
+        raise ValueError(
+            "fused kernel v2 needs per-class-uniform edge parameters; "
+            "use the v1 kernel (pack_lattice/fused_frame) instead"
+        )
+    w, h = state.shape
+    wr, hr = padded_dims(w, h, tile_w)
+
+    def pad(stack):
+        return jnp.pad(
+            jnp.stack([x.astype(jnp.float32) for x in stack]),
+            ((0, 0), (PAD_W, PAD_W + wr - w), (PAD_H, PAD_H + hr - h)),
+        )
+
+    hot = [state.pos[..., 0], state.pos[..., 1],
+           state.vel[..., 0], state.vel[..., 1],
+           state.acc[..., 0], state.acc[..., 1]]
+    for e in state.edges:
+        hot += [e.target_length, e.last_length, e.alive.astype(jnp.float32)]
+    obs = []
+    for e in state.edges:
+        obs += [e.strain, e.stress]
+    imm = [state.alive.astype(jnp.float32), state.pinned.astype(jnp.float32)]
+    return pad(hot), pad(obs), pad(imm), ec
+
+
+def unpack_lattice2(hot, obs, template):
+    import dataclasses
+
+    w, h = template.shape
+    core = hot[:, PAD_W : PAD_W + w, PAD_H : PAD_H + h]
+    ocore = obs[:, PAD_W : PAD_W + w, PAD_H : PAD_H + h]
+    edges = []
+    for c, e in enumerate(template.edges):
+        mb = 6 + c * 3
+        edges.append(dataclasses.replace(
+            e,
+            target_length=core[mb + TGT],
+            last_length=core[mb + LST],
+            alive=core[mb + EAL] > 0.0,
+            strain=ocore[c * 2 + STR],
+            stress=ocore[c * 2 + STS],
+        ))
+    return dataclasses.replace(
+        template,
+        pos=jnp.stack([core[PX], core[PY]], -1),
+        vel=jnp.stack([core[VX], core[VY]], -1),
+        acc=jnp.stack([core[AX], core[AY]], -1),
+        edges=tuple(edges),
+    )
+
+
+def fused_substep2_call(hot, immut, consts_vec, *, w: int, h: int,
+                        stencil: int, quantized: bool, tile_w: int = 128,
+                        interpret: bool = False, far=None, obs_in=None):
+    """One v2 substep. ``obs_in``: pass the obs stack to run the observing
+    variant — returns (hot', obs'); otherwise returns hot' only."""
+    if w % tile_w or h % 128:
+        raise ValueError(f"padded interior ({w},{h}) misaligned")
+    gw = w // tile_w
+    bw, bh = tile_w + 2 * PAD_W, h + 2 * PAD_H
+    has_far = far is not None
+    obs = obs_in is not None
+    n_rot = len(_rotation_specs(stencil))
+
+    kernel = functools.partial(
+        _kernel2, tile_w=tile_w, world_h=h, stencil=stencil,
+        quantized=quantized, has_far=has_far, obs=obs,
+    )
+    n_in = 2 + int(has_far) + int(obs)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] * n_in
+    out_shape = [jax.ShapeDtypeStruct(hot.shape, jnp.float32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+    if obs:
+        out_shape.append(jax.ShapeDtypeStruct(obs_in.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+    scratch = [
+        pltpu.VMEM((2, N_HOT, bw, bh), jnp.float32),
+        pltpu.VMEM((2, N_IMM, bw, bh), jnp.float32),
+    ]
+    if has_far:
+        scratch.append(pltpu.VMEM((2, 5, tile_w, h), jnp.float32))
+    scratch.append(pltpu.VMEM((2, N_HOT, tile_w, h), jnp.float32))
+    if obs:
+        scratch.append(pltpu.VMEM((N_OBS, tile_w, h), jnp.float32))
+    scratch.append(pltpu.VMEM((n_rot, bw, bh), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((10,)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(gw,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    args = [consts_vec, hot, immut]
+    if has_far:
+        args.append(far)
+    if obs:
+        args.append(obs_in)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    if obs:
+        return outs[0], outs[1]
+    return outs[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "cfg", "tile_w", "interpret"),
+    donate_argnames=("hot", "obs"),
+)
+def fused_frame2(hot, obs, immut, edge_consts, consts: PhysicsConstants,
+                 uin: UserInput, spec, cfg: StaticConfig,
+                 tile_w: int = 128, interpret: bool = False):
+    """One frame: ``subticks−1`` hot substeps + 1 observing substep.
+    Returns (hot', obs')."""
+    w, h = padded_dims(spec.width, spec.height, tile_w)
+    cvec = jnp.concatenate(
+        [_consts_vector(consts, uin, cfg, spec.height), edge_consts]
+    )
+    quantized = cfg.force_mode == "quantized"
+    stencil = 0 if cfg.collision_mode == "none" else spec.collision_stencil
+    kw = dict(w=w, h=h, stencil=stencil, quantized=quantized,
+              tile_w=tile_w, interpret=interpret)
+
+    def body(m, _):
+        return fused_substep2_call(m, immut, cvec, **kw), None
+
+    hot, _ = jax.lax.scan(body, hot, None, length=cfg.subticks - 1)
+    return fused_substep2_call(hot, immut, cvec, obs_in=obs, **kw)

@@ -1,0 +1,143 @@
+"""Fused Pallas kernel v2 (interpret mode) vs the XLA lattice path.
+
+v2 evaluates each spring at both endpoints (identical float ops → exact
+antisymmetry, bit-matching quantized sums) but accumulates collision
+terms in full-offset order, so trajectories match the XLA path to float
+tolerance like v1 does."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from softbody_tpu import PhysicsConstants, StaticConfig, UserInput
+from softbody_tpu.models import cloth_lattice
+from softbody_tpu.ops.stencil import LatticeSpec, lattice_substep_jit
+from softbody_tpu.ops.pallas.fused_substep2 import (
+    fused_frame2,
+    pack_lattice2,
+    unpack_lattice2,
+    uniform_edge_consts,
+)
+
+
+def scene(w, h, spacing=16.0, seed=0, strain_limit=None):
+    ls, spec, _ = cloth_lattice(w=w, h=h, spacing=spacing, spring=8.0)
+    rng = np.random.default_rng(seed)
+    ls = dataclasses.replace(
+        ls,
+        pos=ls.pos + jnp.asarray(rng.uniform(-2, 2, (w, h, 2)).astype(np.float32)),
+        vel=jnp.asarray(rng.normal(0, 10, (w, h, 2)).astype(np.float32)),
+    )
+    if strain_limit is not None:
+        edges = tuple(
+            dataclasses.replace(
+                e, strain_limit=jnp.full((w, h), strain_limit, jnp.float32)
+            )
+            for e in ls.edges
+        )
+        ls = dataclasses.replace(ls, edges=edges)
+    return ls
+
+
+@pytest.mark.parametrize("stencil", [0, 2])
+def test_fused2_matches_xla(stencil):
+    w, h = 12, 10
+    ls = scene(w, h)
+    spec = LatticeSpec(w, h, collision_stencil=stencil)
+    cfg = StaticConfig(
+        subticks=2, particle_radius=9.0,
+        collision_mode="allpairs" if stencil else "none",
+    )
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+
+    hot, obs, immut, ec = pack_lattice2(ls, tile_w=8)
+    hot, obs = fused_frame2(hot, obs, immut, ec, consts, uin, spec, cfg,
+                            tile_w=8, interpret=True)
+    got = unpack_lattice2(hot, obs, ls)
+
+    ref = ls
+    for _ in range(cfg.subticks):
+        ref = lattice_substep_jit(ref, consts, uin, spec, cfg)
+
+    # tolerance floor: the interpret-mode pow in the drag term contracts
+    # FMAs differently than the XLA path (1 ulp), amplified ~2x/substep
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(ref.pos),
+                               rtol=0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.vel), np.asarray(ref.vel),
+                               rtol=0, atol=5e-3)
+    for eo, er in zip(got.edges, ref.edges):
+        np.testing.assert_array_equal(np.asarray(eo.alive),
+                                      np.asarray(er.alive))
+        np.testing.assert_allclose(np.asarray(eo.target_length),
+                                   np.asarray(er.target_length),
+                                   rtol=0, atol=5e-4)
+        # strain/stress written by the observing (final) substep
+        np.testing.assert_allclose(np.asarray(eo.strain),
+                                   np.asarray(er.strain),
+                                   rtol=0, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(eo.stress),
+                                   np.asarray(er.stress),
+                                   rtol=0, atol=1e-2)
+
+
+def test_fused2_tearing_matches_xla():
+    w, h = 12, 10
+    ls = scene(w, h, seed=5, strain_limit=0.02)
+    spec = LatticeSpec(w, h, collision_stencil=2)
+    cfg = StaticConfig(subticks=4, particle_radius=9.0,
+                       collision_mode="allpairs")
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+
+    hot, obs, immut, ec = pack_lattice2(ls, tile_w=8)
+    hot, obs = fused_frame2(hot, obs, immut, ec, consts, uin, spec, cfg,
+                            tile_w=8, interpret=True)
+    got = unpack_lattice2(hot, obs, ls)
+
+    ref = ls
+    for _ in range(cfg.subticks):
+        ref = lattice_substep_jit(ref, consts, uin, spec, cfg)
+
+    broke = 0
+    for eo, er in zip(got.edges, ref.edges):
+        np.testing.assert_array_equal(np.asarray(eo.alive),
+                                      np.asarray(er.alive))
+        broke += int((~np.asarray(er.alive)).sum())
+    assert broke > 0
+
+
+def test_uniform_check_rejects_varying_edges():
+    ls = scene(8, 8)
+    edges = list(ls.edges)
+    sp = np.asarray(edges[0].spring).copy()
+    sp[2, 3] = 99.0
+    edges[0] = dataclasses.replace(edges[0], spring=jnp.asarray(sp))
+    ls = dataclasses.replace(ls, edges=tuple(edges))
+    assert uniform_edge_consts(ls) is None
+    with pytest.raises(ValueError):
+        pack_lattice2(ls)
+
+
+def test_fused2_obs_retention():
+    """Edges broken mid-frame keep their previous obs values (they are
+    dead — nothing renders them), live edges get fresh final-substep
+    strain/stress."""
+    w, h = 12, 10
+    ls = scene(w, h, seed=5, strain_limit=0.12)
+    spec = LatticeSpec(w, h, collision_stencil=0)
+    cfg = StaticConfig(subticks=4, particle_radius=9.0,
+                       collision_mode="none")
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+    hot, obs, immut, ec = pack_lattice2(ls, tile_w=8)
+    hot, obs2 = fused_frame2(hot, obs, immut, ec, consts, uin, spec, cfg,
+                             tile_w=8, interpret=True)
+    got = unpack_lattice2(hot, obs2, ls)
+    alive_any = any(bool(np.asarray(e.alive).any()) for e in got.edges)
+    assert alive_any
+    for e in got.edges:
+        al = np.asarray(e.alive)
+        if al.any():
+            assert np.isfinite(np.asarray(e.strain)[al]).all()
