@@ -247,6 +247,45 @@ def cmd_snapshot(args) -> int:
     return 0
 
 
+def cmd_play(args) -> int:
+    """Interactive terminal viewer (≙ the reference's live canvas +
+    controls; see tui.py)."""
+    import dataclasses
+
+    from .config import PhysicsConstants
+    from .engine.engine import Engine, LatticeEngine
+    from .engine.protocol import EngineOptions
+    from .tui import play
+
+    _warm_readback()
+    if args.path == "lattice":
+        state, spec, cfg, consts = _build_lattice_scene(args)
+        opts = EngineOptions(
+            particle_radius=cfg.particle_radius, subticks=cfg.subticks,
+            collision_mode=cfg.collision_mode, use_pallas=cfg.use_pallas,
+        )
+        ff = None
+        if args.farfield:
+            from .ops.farfield import FarFieldSpec
+
+            ff = FarFieldSpec()
+        eng = LatticeEngine(state, spec, consts, opts, farfield=ff)
+    else:
+        state, cfg = _build_scene(args)
+        opts = EngineOptions(
+            particle_radius=cfg.particle_radius, subticks=cfg.subticks,
+            collision_mode=cfg.collision_mode,
+        )
+        eng = Engine(state, PhysicsConstants.default(), opts)
+    try:
+        play(eng, fps=args.fps, duration=args.duration)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        eng.destroy()
+    return 0
+
+
 def cmd_scenes(args) -> int:
     from .models import SCENES
 
@@ -284,6 +323,17 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--n", type=int, default=None)
     p.add_argument("--format", default="auto", choices=["auto", "v0", "v1"])
     p.set_defaults(fn=cmd_snapshot)
+
+    p = sub.add_parser(
+        "play", help="interactive terminal viewer (WASD/arrows/space)"
+    )
+    _common_scene_args(p)
+    p.add_argument("--fps", type=float, default=30.0)
+    p.add_argument("--duration", type=float, default=None,
+                   help="auto-quit after N seconds (demos/tests)")
+    p.add_argument("--farfield", action="store_true",
+                   help="enable far-field self-collision (lattice path)")
+    p.set_defaults(fn=cmd_play)
 
     p = sub.add_parser("scenes", help="list scene families")
     p.set_defaults(fn=cmd_scenes)

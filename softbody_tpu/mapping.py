@@ -150,8 +150,16 @@ class SceneRegistry:
         return True
 
     def remove_particle(self, p: Union[ParticleObj, int]) -> bool:
+        """Remove a particle AND its incident beams (a beam with a
+        missing endpoint is invalid — the reference editor deletes them
+        together, editor.ts:264-270)."""
         pid = p if isinstance(p, int) else p.id
-        return self._particles.pop(pid, None) is not None
+        if self._particles.pop(pid, None) is None:
+            return False
+        for bid in list(self._particle_beams.get(pid, ())):
+            self.remove_beam(bid)
+        self._particle_beams.pop(pid, None)
+        return True
 
     def remove_beam(self, b: Union[BeamObj, int]) -> bool:
         bid = b if isinstance(b, int) else b.id

@@ -85,7 +85,7 @@ def tearing_cloth_lattice(
     collision_stencil: int = 2,
     pin_top: bool = False,
     fall_speed: float = 2.0,
-) -> Tuple[LatticeState, LatticeSpec, StaticConfig]:
+) -> Tuple[LatticeState, LatticeSpec, StaticConfig, "PhysicsConstants"]:
     """BASELINE config 5 on the dense path: near-square lattice spanning
     the world, falling and tearing where it crumples on impact.
 

@@ -408,9 +408,7 @@ def _stencil_collisions(state, consts, spec, cfg, lin_x_offset=0):
     linp = padp(lin)
 
     def sl(arr, dx, dy):
-        return jax.lax.dynamic_slice(
-            arr, (s + dx, s + dy), (w, h)
-        ) if False else arr[s + dx : s + dx + w, s + dy : s + dy + h]
+        return arr[s + dx : s + dx + w, s + dy : s + dy + h]
 
     c_px, c_py = sl(px, 0, 0), sl(py, 0, 0)
     c_vx, c_vy = sl(vx, 0, 0), sl(vy, 0, 0)
