@@ -141,6 +141,15 @@ class Engine:
     # ---- observability ----
 
     def render_packet(self) -> Optional[RenderPacket]:
+        """Latest frame for visualization. The device→host transfer runs
+        on THIS thread (worker.host_packet), so polling at any rate never
+        stalls stepping; the GET_RENDER_PACKET message remains for
+        protocol parity (engine.ts RPC surface)."""
+        return self._worker.host_packet()
+
+    def render_packet_rpc(self) -> Optional[RenderPacket]:
+        """Worker-thread packet via the message protocol (blocks stepping
+        for the readback duration — kept for protocol-parity tests)."""
         return self._worker.post_with_ack(MessageType.GET_RENDER_PACKET)
 
     def stats(self) -> EngineStats:

@@ -251,6 +251,18 @@ class EngineWorker:
         pos, p_alive, ba, bb, b_alive, strain, stress = self.backend.packet_arrays(src)
         return RenderPacket(pos, p_alive, ba, bb, b_alive, strain, stress, idx)
 
+    def host_packet(self) -> Optional[RenderPacket]:
+        """Decoupled readback: build the packet on the CALLING thread.
+
+        ``_render_src`` holds device-side copies snapshotted at frame end
+        (≙ the staging buffers, engineWorker.ts:453-478); the
+        device→host transfer (``packet_arrays``) runs here, so a large
+        readback never blocks the stepping thread — the reference's
+        ``mapAsync`` readback never blocks its render loop either.
+        Thread-safe: the source tuple is immutable and replaced, not
+        mutated, under ``_packet_lock``."""
+        return self._make_packet()
+
     def _stats(self) -> EngineStats:
         fps = self.fps
         n, m = self.backend.counts(self._state)

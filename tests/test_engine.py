@@ -54,6 +54,31 @@ def test_render_packet_decoupled():
         assert pkt2.frame_index > f1
         # gravity must be pulling the free particle down
         assert pkt2.pos[2, 1] < 300.0
+        # RPC variant (worker-thread readback, protocol parity) agrees
+        pkt3 = eng.render_packet_rpc()
+        assert pkt3 is not None and pkt3.frame_index >= pkt2.frame_index
+
+
+def test_render_packet_polling_never_stalls_stepping():
+    """Host-thread readback (worker.host_packet): hammering
+    render_packet() must not serialize against the frame loop — frames
+    keep advancing and every packet is internally consistent."""
+    import time
+
+    with small_engine() as eng:
+        wait_frames(eng, 2)
+        f0 = eng.stats().frame_index
+        seen = []
+        t_end = time.monotonic() + 1.5
+        while time.monotonic() < t_end:
+            pkt = eng.render_packet()  # no sleep: poll flat-out
+            assert pkt is not None
+            assert pkt.pos.shape[0] == pkt.particle_alive.shape[0]
+            assert pkt.beam_a.shape == pkt.beam_b.shape
+            seen.append(pkt.frame_index)
+        f1 = eng.stats().frame_index
+        assert f1 > f0 + 2  # stepping progressed under poll pressure
+        assert seen == sorted(seen)  # frame indices monotonic
 
 
 def test_physics_constants_rpc():
@@ -190,6 +215,8 @@ def test_initial_state_reset_slot():
         pkt1 = eng.render_packet()
         assert not np.allclose(pkt0.pos, pkt1.pos)  # world moved on
         assert eng.reset()
+        # a load clears the render source; the next frame repopulates it
+        wait_frames(eng, eng.stats().frame_index + 1)
         pkt2 = eng.render_packet()
         # freshly reloaded world is (close to) the captured slot; give the
         # loop a frame or two of slack
