@@ -133,12 +133,7 @@ class LatticeBackend:
         self.far_overflow = 0
 
     def _far_maybe_rebuild(self, state) -> None:
-        from ..ops.farfield import (
-            crop_far_list,
-            displacement_check,
-            max_relative_speed,
-            rebuild_far_list,
-        )
+        from ..ops.farfield import displacement_check, max_relative_speed
 
         budget = self.ff.skin * 0.5
         frame_t = self.cfg.subticks * self.cfg.dt
@@ -149,12 +144,30 @@ class LatticeBackend:
                                             self._far_list))
             if disp + projected <= budget:
                 return
-        self._far_list = rebuild_far_list(
-            state.pos, state.alive,
-            s=self.spec.collision_stencil, ff=self.ff,
-            radius=self.cfg.particle_radius,
+        self._far_rebuild(state.pos, state.alive)
+
+    def _far_rebuild(self, pos, alive) -> None:
+        """Two-stage rebuild: a detection-only count first (the common
+        no-fold frame skips the compaction machinery entirely), then the
+        full list build when candidates exist."""
+        from ..ops.farfield import (
+            crop_far_list,
+            empty_far_list_at,
+            far_candidate_count,
+            rebuild_far_list,
         )
+
+        kw = dict(s=self.spec.collision_stencil, ff=self.ff,
+                  radius=self.cfg.particle_radius)
+        total, com = far_candidate_count(pos, alive, **kw)
         self.far_rebuilds += 1
+        if int(total) == 0:
+            self._far_list = empty_far_list_at(pos, com, self.ff)
+            self._far_active = None
+            self.far_pairs = 0
+            self.far_overflow = 0
+            return
+        self._far_list = rebuild_far_list(pos, alive, **kw)
         self.far_pairs = int(self._far_list.n_pairs)
         self.far_overflow = int(self._far_list.overflow)
         if self.far_pairs == 0:
@@ -162,7 +175,9 @@ class LatticeBackend:
         else:
             k = next((b for b in self._FAR_BUCKETS if b >= self.far_pairs),
                      self.ff.max_pairs)
-            self._far_active = crop_far_list(self._far_list, min(k, self.ff.max_pairs))
+            self._far_active = crop_far_list(
+                self._far_list, min(k, self.ff.max_pairs)
+            )
 
     def step(self, state, consts, uin):
         if self.ff is not None and self.cfg.collision_mode != "none":
@@ -171,6 +186,7 @@ class LatticeBackend:
                 return self._frame_far(state, self._far_active, consts, uin,
                                        self.spec, self.cfg, self.ff)
         return self._frame(state, consts, uin, self.spec, self.cfg)
+
 
     def extract(self, state):
         from ..ops.stencil import EDGE_OFFSETS
@@ -261,3 +277,90 @@ class LatticeBackend:
             for e in state.edges
         )
         return dataclasses.replace(state, edges=edges, **upd)
+
+
+class FusedLatticeBackend(LatticeBackend):
+    """Lattice backend running the fused Pallas kernel v2 over persistent
+    packed plane stacks — the engine-API route to the bench-headline path
+    (requires per-class-uniform edge parameters; tile_w must divide the
+    padded interior width).
+
+    State representation: ``(hot [18,Wp,Hp], obs [8,Wp,Hp])``; the
+    immutable stack and edge-constant vector live on the backend.
+    Snapshot/corrupt round-trip through LatticeState (cold paths)."""
+
+    def __init__(self, spec, cfg: StaticConfig, farfield=None,
+                 tile_w: int = 128) -> None:
+        super().__init__(spec, cfg, farfield=farfield)
+        self.tile_w = tile_w
+        self._immut = None
+        self._edge_consts = None
+        self._template = None
+
+    def pack_state(self, lstate):
+        """LatticeState → packed (hot, obs); captures immut/edge consts
+        and a template for unpacking."""
+        from ..ops.pallas.fused_substep2 import pack_lattice2
+
+        hot, obs, immut, ec = pack_lattice2(lstate, tile_w=self.tile_w)
+        self._immut = immut
+        self._edge_consts = ec
+        self._template = lstate
+        return (hot, obs)
+
+    def unpack_state(self, state):
+        from ..ops.pallas.fused_substep2 import unpack_lattice2
+
+        hot, obs = state
+        return unpack_lattice2(hot, obs, self._template)
+
+    def _far_maybe_rebuild(self, state) -> None:
+        from ..ops.pallas.fused_substep2 import ALIVE, PX, PY, packed_far_motion2
+
+        hot, _ = state
+        budget = self.ff.skin * 0.5
+        frame_t = self.cfg.subticks * self.cfg.dt
+        if self._far_list is not None:
+            disp, vrel = packed_far_motion2(hot, self._immut, self._far_list)
+            if float(disp) + 2.0 * float(vrel) * frame_t <= budget:
+                return
+        pos = jnp.stack([hot[PX], hot[PY]], axis=-1)
+        alive = self._immut[ALIVE] > 0.0
+        self._far_rebuild(pos, alive)
+
+    def step(self, state, consts, uin):
+        from ..ops.pallas.fused_substep2 import fused_frame2, fused_frame2_far
+
+        interp = jax.default_backend() != "tpu"
+        hot, obs = state
+        if self.ff is not None and self.cfg.collision_mode != "none":
+            self._far_maybe_rebuild(state)
+            if self._far_active is not None:
+                return fused_frame2_far(
+                    hot, obs, self._immut, self._edge_consts,
+                    self._far_active, consts, uin, self.spec, self.cfg,
+                    self.ff, tile_w=self.tile_w, interpret=interp,
+                )
+        return fused_frame2(hot, obs, self._immut, self._edge_consts,
+                            consts, uin, self.spec, self.cfg,
+                            tile_w=self.tile_w, interpret=interp)
+
+    def extract(self, state):
+        return super().extract(self.unpack_state(state))
+
+    def save(self, state, consts) -> bytes:
+        return super().save(self.unpack_state(state), consts)
+
+    def load(self, buf: bytes):
+        loaded = super().load(buf)
+        if loaded is None:
+            return None
+        lstate, consts = loaded
+        return self.pack_state(lstate), consts
+
+    def counts(self, state):
+        return super().counts(self.unpack_state(state))
+
+    def corrupt(self, state, rng: np.random.Generator):
+        return self.pack_state(super().corrupt(self.unpack_state(state), rng))
+

@@ -197,9 +197,11 @@ class LatticeEngine(Engine):
         consts: Optional[PhysicsConstants] = None,
         options: Optional[EngineOptions] = None,
         farfield=None,
+        fused: bool = False,
+        tile_w: int = 128,
     ) -> None:
         from ..config import StaticConfig
-        from .backends import LatticeBackend
+        from .backends import FusedLatticeBackend, LatticeBackend
 
         options = options or EngineOptions()
         cfg = StaticConfig(
@@ -210,5 +212,10 @@ class LatticeEngine(Engine):
             force_mode=options.force_mode,
             use_pallas=options.use_pallas,
         )
-        backend = LatticeBackend(spec, cfg, farfield=farfield)
+        if fused:
+            backend = FusedLatticeBackend(spec, cfg, farfield=farfield,
+                                          tile_w=tile_w)
+            state = backend.pack_state(state)
+        else:
+            backend = LatticeBackend(spec, cfg, farfield=farfield)
         super().__init__(state, consts, options, backend=backend)

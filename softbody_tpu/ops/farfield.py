@@ -170,21 +170,9 @@ def unchunk_view(x: jax.Array, wp: int, hp: int, ff: FarFieldSpec) -> jax.Array:
 # rebuild
 
 
-@functools.partial(jax.jit, static_argnames=("s", "ff", "radius"))
-def rebuild_far_list(
-    pos: jax.Array,
-    alive: jax.Array,
-    *,
-    s: int,
-    ff: FarFieldSpec,
-    radius: float,
-) -> FarList:
-    """Build the candidate chunk-pair list from current positions.
-
-    All work is dense (reductions, shifted compares, one [T, T] tile
-    test) plus three fixed-capacity ``nonzero`` compactions — no sort, no
-    gather beyond the tile refinement's [K1, 64, 4] AABB fetch.
-    """
+def _detection(pos, alive, *, s: int, ff: FarFieldSpec, radius: float):
+    """Dense candidate detection: returns the three source masks plus the
+    tile-refinement tables (everything before compaction)."""
     w, h = pos.shape[0], pos.shape[1]
     cwx, cwy, wp, hp = _chunk_dims(w, h, ff)
     c = ff.chunk
@@ -339,6 +327,50 @@ def rebuild_far_list(
     )
     ref_ov = ref_ov & (ccheb >= 2 * tc)
 
+    amask = alive[..., None]
+    n_alive = jnp.maximum(jnp.sum(alive.astype(jnp.float32)), 1.0)
+    com = jnp.sum(jnp.where(amask, pos, 0.0), axis=(0, 1)) / n_alive
+    return (band_stack, ann_stack, ref_ov, ca_ids, cb_ids, tile_overflow,
+            adj_offsets, ann_offsets, cwy, com)
+
+
+@functools.partial(jax.jit, static_argnames=("s", "ff", "radius"))
+def far_candidate_count(pos, alive, *, s: int, ff: FarFieldSpec,
+                        radius: float):
+    """Cheap detection-only pass: (total candidate pairs incl. dropped
+    tile pairs, COM) — lets the engine skip the compaction machinery
+    entirely on the common no-fold frame."""
+    (band_stack, ann_stack, ref_ov, _ca, _cb, tile_overflow,
+     _adj, _ann, _cwy, com) = _detection(pos, alive, s=s, ff=ff,
+                                         radius=radius)
+    total = (
+        jnp.sum(band_stack.astype(jnp.int32))
+        + jnp.sum(ann_stack.astype(jnp.int32))
+        + jnp.sum(ref_ov.astype(jnp.int32))
+        + tile_overflow
+    )
+    return total, com
+
+
+@functools.partial(jax.jit, static_argnames=("s", "ff", "radius"))
+def rebuild_far_list(
+    pos: jax.Array,
+    alive: jax.Array,
+    *,
+    s: int,
+    ff: FarFieldSpec,
+    radius: float,
+) -> FarList:
+    """Build the candidate chunk-pair list from current positions.
+
+    All work is dense (reductions, shifted compares, one [T, T] tile
+    test) plus three fixed-capacity ``nonzero`` compactions — no sort, no
+    gather beyond the tile refinement's [K1, 64, 4] AABB fetch.
+    """
+    (band_stack, ann_stack, ref_ov, ca_ids, cb_ids, tile_overflow,
+     adj_offsets, ann_offsets, cwy, com) = _detection(
+         pos, alive, s=s, ff=ff, radius=radius)
+
     # ---- compact the three sources --------------------------------------
     # jnp.nonzero(size=) lowers through bincount = a scatter over EVERY
     # input element (measured 300 ms on the 39M-entry annulus stack), so
@@ -403,9 +435,6 @@ def rebuild_far_list(
         + jnp.maximum(total - k2, 0) + tile_overflow
     )
 
-    amask = alive[..., None]
-    n_alive = jnp.maximum(jnp.sum(alive.astype(jnp.float32)), 1.0)
-    com = jnp.sum(jnp.where(amask, pos, 0.0), axis=(0, 1)) / n_alive
     return FarList(
         ca=lo.astype(jnp.int32),
         cb=hi.astype(jnp.int32),
@@ -605,6 +634,21 @@ def far_collision_terms(
         .reshape(5, wp, hp)[:, :w, :h]
     )
     return tuple(planes[i] for i in range(5))
+
+
+def empty_far_list_at(pos, com, ff: FarFieldSpec) -> FarList:
+    """An all-invalid list anchored at the given reference positions —
+    what a full rebuild would return when detection found nothing."""
+    k = ff.max_pairs
+    return FarList(
+        ca=jnp.zeros((k,), jnp.int32),
+        cb=jnp.zeros((k,), jnp.int32),
+        valid=jnp.zeros((k,), bool),
+        n_pairs=jnp.int32(0),
+        overflow=jnp.int32(0),
+        pos_ref=pos,
+        com_ref=com,
+    )
 
 
 def empty_far_list(w: int, h: int, ff: FarFieldSpec) -> FarList:

@@ -646,3 +646,65 @@ def fused_frame2(hot, obs, immut, edge_consts, consts: PhysicsConstants,
 
     hot, _ = jax.lax.scan(body, hot, None, length=cfg.subticks - 1)
     return fused_substep2_call(hot, immut, cvec, obs_in=obs, **kw)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "cfg", "ffspec", "tile_w", "interpret"),
+    donate_argnames=("hot", "obs"),
+)
+def fused_frame2_far(hot, obs, immut, edge_consts, fl,
+                     consts: PhysicsConstants, uin: UserInput, spec,
+                     cfg: StaticConfig, ffspec, tile_w: int = 128,
+                     interpret: bool = False):
+    """fused_frame2 with far-field contacts: each substep computes the
+    far delta planes in XLA from the carry (ops/farfield.py) and the
+    kernel consumes them (same contract as v1's fused_frame_far)."""
+    from ..farfield import far_collision_terms
+
+    w, h = padded_dims(spec.width, spec.height, tile_w)
+    ht = h + 2 * PAD_H
+    cvec = jnp.concatenate(
+        [_consts_vector(consts, uin, cfg, spec.height), edge_consts]
+    )
+    quantized = cfg.force_mode == "quantized"
+    stencil = 0 if cfg.collision_mode == "none" else spec.collision_stencil
+    alive_plane = immut[ALIVE] > 0.0
+    kw = dict(w=w, h=h, stencil=stencil, quantized=quantized,
+              tile_w=tile_w, interpret=interpret)
+
+    def far_of(m):
+        deltas = far_collision_terms(
+            m[PX], m[PY], m[VX], m[VY], alive_plane, fl,
+            s=spec.collision_stencil, ff=ffspec,
+            radius=cfg.particle_radius, dt=cfg.dt,
+            ecoeff=(consts.elasticity + 1.0) * 0.5,
+            friction=consts.friction, world_h=ht,
+        )
+        return jnp.stack(deltas)
+
+    def body(m, _):
+        return fused_substep2_call(m, immut, cvec, far=far_of(m), **kw), None
+
+    hot, _ = jax.lax.scan(body, hot, None, length=cfg.subticks - 1)
+    return fused_substep2_call(hot, immut, cvec, far=far_of(hot),
+                               obs_in=obs, **kw)
+
+
+def rebuild_far_list_packed2(hot, immut, *, s: int, ff, radius: float):
+    """Far-list rebuild from the v2 packed stacks (padded coordinates)."""
+    from ..farfield import rebuild_far_list
+
+    pos = jnp.stack([hot[PX], hot[PY]], axis=-1)
+    alive = immut[ALIVE] > 0.0
+    return rebuild_far_list(pos, alive, s=s, ff=ff, radius=radius)
+
+
+@jax.jit
+def packed_far_motion2(hot, immut, fl):
+    from ..farfield import displacement_check, max_relative_speed
+
+    pos = jnp.stack([hot[PX], hot[PY]], axis=-1)
+    vel = jnp.stack([hot[VX], hot[VY]], axis=-1)
+    alive = immut[ALIVE] > 0.0
+    return displacement_check(pos, alive, fl), max_relative_speed(vel, alive)

@@ -239,3 +239,28 @@ def test_constants_clamping():
     assert clamp_value("subticks", 63) == 64
     assert clamp_value("subticks", 1) == 2
     assert clamp_value("particle_radius", 1234.0) == 500.0
+
+
+def test_fused_lattice_engine_backend():
+    """LatticeEngine(fused=True): the v2 Pallas path behind the full
+    engine API — stepping, packets, snapshot round-trip, reset."""
+    from softbody_tpu.engine.engine import LatticeEngine
+    from softbody_tpu.engine.protocol import EngineOptions
+    from softbody_tpu.models import cloth_lattice
+
+    ls, spec, _ = cloth_lattice(w=8, h=8, spacing=20.0)
+    opts = EngineOptions(subticks=4, particle_radius=8.0,
+                         collision_mode="allpairs", target_fps=None)
+    with LatticeEngine(ls, spec, options=opts, fused=True, tile_w=8) as eng:
+        st = wait_frames(eng, 3)
+        assert st.particle_count == 64
+        pkt = eng.render_packet()
+        assert pkt.pos.shape == (64, 2)
+        assert np.isfinite(pkt.pos).all()
+        buf = eng.save_snapshot()
+        assert buf[:4] == b"SBL1"
+        assert eng.load_snapshot(buf)
+        eng.set_initial_state()
+        wait_frames(eng, eng.stats().frame_index + 2)
+        assert eng.reset()
+        assert eng.error is None
