@@ -423,10 +423,26 @@ class SoftbodyEditor:
 
     # ---- rendering (CPU twin of the stress coloring, editor.ts:630-645) ----
 
-    def render(self, resolution: int = 512):
+    @property
+    def fps(self) -> float:
+        """Rolling 1 s render-call count (≙ editor.ts:782-790)."""
+        import time as _time
+
+        now = _time.monotonic()
+        self._frame_times = [t for t in getattr(self, "_frame_times", [])
+                             if t > now - 1.0]
+        return float(len(self._frame_times))
+
+    def render(self, resolution: int = 512, overlay: bool = True):
         """Rasterize the current scene via the device renderer, with the
         same stress/strain beam coloring the reference editor computes on
-        CPU."""
+        CPU, plus the visual feedback layer (snap grid, velocity vectors,
+        dashed invalid beams, selection outlines, HUD — editor.ts:575-854)
+        unless ``overlay=False``."""
+        import time as _time
+
+        self._frame_times = getattr(self, "_frame_times", [])
+        self._frame_times.append(_time.monotonic())
         from .viz import render_packet
 
         state = self.registry.to_state(build_incidence=False)
@@ -453,7 +469,120 @@ class SoftbodyEditor:
         limit = np.maximum(np.asarray(state.beam_strain_limit), 1e-9)
         pkt.beam_stress = ((tl - ln) * spring + (ll - ln) * damp) / 20.0
         pkt.beam_strain = np.abs(tl - ln) / length / limit
-        return render_packet(
+        img = render_packet(
             pkt, resolution=resolution, bounds_size=self.bounds_size,
             particle_radius=self.particle_radius,
         )
+        if overlay:
+            img = np.array(img)  # device buffer view is read-only
+            self._draw_overlay(img, resolution)
+        return img
+
+    # -- visual feedback layer (≙ drawFrame, editor.ts:575-854) --
+
+    def _to_px(self, p, resolution: int):
+        """World → pixel (y-down), camera ignored for the fixture path."""
+        s = resolution / self.bounds_size
+        import numpy as np
+
+        p = np.asarray(p, np.float32)
+        return np.stack(
+            [p[..., 0] * s, resolution - 1 - p[..., 1] * s], axis=-1
+        )
+
+    def _draw_overlay(self, img, resolution: int) -> None:
+        import numpy as np
+
+        from .viz import (
+            draw_circle_outline,
+            draw_line,
+            draw_text,
+        )
+
+        s = resolution / self.bounds_size
+        r_px = max(2, int(self.particle_radius * 0.9 * s))
+        reg = self.registry
+
+        # snap grid (editor.ts:586-600)
+        if self.snap_grid_size > 0:
+            g = self.snap_grid_size
+            r = self.particle_radius
+            hi = (
+                math.floor((self.bounds_size - 2 * r) / g) * g + r
+            )
+            ticks = np.arange(r, hi + 1e-6, g, dtype=np.float32)
+            grid_c = (85, 85, 85)
+            for t in ticks:
+                a = self._to_px(np.array([r, t]), resolution)
+                b = self._to_px(np.array([hi, t]), resolution)
+                draw_line(img, a, b, grid_c)
+                a = self._to_px(np.array([t, r]), resolution)
+                b = self._to_px(np.array([t, hi]), resolution)
+                draw_line(img, a, b, grid_c)
+
+        # velocity vectors, red (editor.ts:616-625)
+        for p in reg.particles:
+            a = self._to_px(np.array([p.position.x, p.position.y]), resolution)
+            b = self._to_px(
+                np.array([p.position.x + p.velocity.x,
+                          p.position.y + p.velocity.y]), resolution
+            )
+            draw_line(img, a, b, (255, 0, 0))
+
+        # invalid beams: dashed magenta, missing endpoints → origin
+        # (editor.ts:648-658; getEndpoints falls back to Vector2D.zero)
+        for b_ in reg.beams:
+            pa = reg.find_particle(b_.a)
+            pb = reg.find_particle(b_.b)
+            if pa is not None and pb is not None:
+                continue
+            e0 = (pa.position.x, pa.position.y) if pa else (0.0, 0.0)
+            e1 = (pb.position.x, pb.position.y) if pb else (0.0, 0.0)
+            draw_line(
+                img,
+                self._to_px(np.array(e0), resolution),
+                self._to_px(np.array(e1), resolution),
+                (255, 0, 255), width=2,
+                dash=(10 * s * 0 + 10, 5),
+            )
+
+        # selection/hover/active outlines (editor.ts:662-698)
+        def outline(pobj, color, width=2):
+            c = self._to_px(
+                np.array([pobj.position.x, pobj.position.y]), resolution
+            )
+            draw_circle_outline(img, c, r_px, color, width=width)
+
+        if self.edit_mode == "particle":
+            for p in self.selected_particles:
+                outline(p, (0, 255, 255))
+            if self._active_particle is not None:
+                outline(self._active_particle, (0, 238, 0), width=3)
+            elif self.hover_particle is not None and not self.force_add_mode:
+                outline(
+                    self.hover_particle,
+                    (255, 0, 0) if self.delete_mode else (255, 255, 0),
+                    width=3,
+                )
+
+        # HUD (editor.ts:792-851): FPS top-left, mode text top-right
+        draw_text(img, (8, 8), f"FPS: {int(self.fps)}", (255, 255, 255))
+        lines = [f"MODE: {self.edit_mode.upper()}"]
+        if self.delete_mode:
+            lines.append("DELETE")
+        if self.force_add_mode:
+            lines.append("FORCED ADD")
+        if self.edit_mode == "particle" and self.hover_particle is not None:
+            p = self.hover_particle.position
+            lines.append(f"HOVER: <{round(p.x)}, {round(p.y)}>")
+        elif self.edit_mode == "beam" and self.hover_beam is not None:
+            b_ = self.hover_beam
+            lines.append(
+                f"HOVER: (S={b_.spring}, D={b_.damp})"
+            )
+        if self.selected_particles or self.selected_beams:
+            n_sel = len(self.selected_particles) + len(self.selected_beams)
+            lines.append(f"SELECTED: {n_sel}")
+        for i, line in enumerate(lines):
+            draw_text(img, (resolution - 8, 8 + 14 * i), line,
+                      (255, 255, 255), align="right")

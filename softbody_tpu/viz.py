@@ -207,3 +207,119 @@ def save_png(path: str, img) -> None:
     if arr.dtype != np.uint8:
         arr = np.clip(np.round(arr * 255), 0, 255).astype(np.uint8)
     write_png(path, arr)
+
+
+# ---------------------------------------------------------------------------
+# Host-side overlay drawing (editor visual feedback layer, editor.ts:575-854):
+# snap grid, velocity vectors, dashed invalid beams, selection outlines and
+# HUD text. Pure NumPy on uint8 images — deliberately CPU-side, like the
+# reference's Canvas2D editor (it never touches the GPU either).
+
+
+def draw_line(img, a, b, color, *, width: int = 1, dash=None) -> None:
+    """Draw segment a→b (pixel coords, y down) in place by sampling.
+    ``dash=(on, off)`` in pixels for dashed strokes."""
+    h, w, _ = img.shape
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    n = max(2, int(np.ceil(np.abs(b - a).max())) + 1)
+    t = np.linspace(0.0, 1.0, n, dtype=np.float32)
+    pts = a[None, :] + (b - a)[None, :] * t[:, None]
+    if dash is not None:
+        on, off = dash
+        dist = t * float(np.linalg.norm(b - a))
+        pts = pts[(dist % (on + off)) < on]
+        if pts.size == 0:
+            return
+    half = (width - 1) // 2
+    for ox in range(-half, width - half):
+        for oy in range(-half, width - half):
+            x = np.clip(pts[:, 0].astype(np.int32) + ox, 0, w - 1)
+            y = np.clip(pts[:, 1].astype(np.int32) + oy, 0, h - 1)
+            img[y, x] = color
+
+
+def draw_circle_outline(img, center, radius, color, *, width: int = 1) -> None:
+    h, w, _ = img.shape
+    n = max(8, int(2 * np.pi * radius) + 1)
+    t = np.linspace(0.0, 2 * np.pi, n, dtype=np.float32)
+    for r in np.linspace(max(radius - width + 1, 1), radius, max(width, 1)):
+        x = np.clip((center[0] + r * np.cos(t)).astype(np.int32), 0, w - 1)
+        y = np.clip((center[1] + r * np.sin(t)).astype(np.int32), 0, h - 1)
+        img[y, x] = color
+
+
+# 3×5 bitmap font (rows top→bottom); enough glyphs for the reference HUD
+# strings (editor.ts:792-851)
+_FONT = {
+    "A": ("010", "101", "111", "101", "101"),
+    "B": ("110", "101", "110", "101", "110"),
+    "C": ("011", "100", "100", "100", "011"),
+    "D": ("110", "101", "101", "101", "110"),
+    "E": ("111", "100", "110", "100", "111"),
+    "F": ("111", "100", "110", "100", "100"),
+    "G": ("011", "100", "101", "101", "011"),
+    "H": ("101", "101", "111", "101", "101"),
+    "I": ("111", "010", "010", "010", "111"),
+    "J": ("001", "001", "001", "101", "010"),
+    "K": ("101", "110", "100", "110", "101"),
+    "L": ("100", "100", "100", "100", "111"),
+    "M": ("101", "111", "101", "101", "101"),
+    "N": ("110", "101", "101", "101", "101"),
+    "O": ("010", "101", "101", "101", "010"),
+    "P": ("110", "101", "110", "100", "100"),
+    "Q": ("010", "101", "101", "110", "011"),
+    "R": ("110", "101", "110", "110", "101"),
+    "S": ("011", "100", "010", "001", "110"),
+    "T": ("111", "010", "010", "010", "010"),
+    "U": ("101", "101", "101", "101", "111"),
+    "V": ("101", "101", "101", "101", "010"),
+    "W": ("101", "101", "101", "111", "101"),
+    "X": ("101", "101", "010", "101", "101"),
+    "Y": ("101", "101", "010", "010", "010"),
+    "Z": ("111", "001", "010", "100", "111"),
+    "0": ("111", "101", "101", "101", "111"),
+    "1": ("010", "110", "010", "010", "111"),
+    "2": ("111", "001", "111", "100", "111"),
+    "3": ("111", "001", "111", "001", "111"),
+    "4": ("101", "101", "111", "001", "001"),
+    "5": ("111", "100", "111", "001", "111"),
+    "6": ("111", "100", "111", "101", "111"),
+    "7": ("111", "001", "001", "010", "010"),
+    "8": ("111", "101", "111", "101", "111"),
+    "9": ("111", "101", "111", "001", "111"),
+    ":": ("000", "010", "000", "010", "000"),
+    ".": ("000", "000", "000", "000", "010"),
+    ",": ("000", "000", "000", "010", "100"),
+    "<": ("001", "010", "100", "010", "001"),
+    ">": ("100", "010", "001", "010", "100"),
+    "=": ("000", "111", "000", "111", "000"),
+    "-": ("000", "000", "111", "000", "000"),
+    "(": ("010", "100", "100", "100", "010"),
+    ")": ("010", "001", "001", "001", "010"),
+    "/": ("001", "001", "010", "100", "100"),
+    " ": ("000", "000", "000", "000", "000"),
+}
+
+
+def draw_text(img, xy, text, color, *, scale: int = 2,
+              align: str = "left") -> None:
+    """Burn HUD text at pixel ``xy`` (top-left or top-right anchored)."""
+    h, w, _ = img.shape
+    cw = 4 * scale  # glyph + 1px spacing
+    text = str(text).upper()
+    x0, y0 = int(xy[0]), int(xy[1])
+    if align == "right":
+        x0 -= len(text) * cw
+    for ci, ch in enumerate(text):
+        glyph = _FONT.get(ch)
+        if glyph is None:
+            continue
+        for ry, row in enumerate(glyph):
+            for rx, bit in enumerate(row):
+                if bit != "1":
+                    continue
+                xs = x0 + ci * cw + rx * scale
+                ys = y0 + ry * scale
+                img[max(0, ys) : min(h, ys + scale),
+                    max(0, xs) : min(w, xs + scale)] = color

@@ -183,3 +183,55 @@ def test_editor_engine_roundtrip():
     ed2 = SoftbodyEditor()
     assert ed2.load(buf)
     assert ed2.registry.beam_count == 1
+
+
+def test_render_overlay_visuals():
+    """Visual feedback layer (≙ drawFrame, editor.ts:575-854): snap grid,
+    red velocity vectors, dashed-magenta invalid beams, selection
+    outlines, HUD text — asserted on rendered fixtures."""
+    ed = SoftbodyEditor()
+    ed.set_edit_mode("particle")
+    reg = ed.registry
+    reg.add_particle(ParticleObj(0, Vec2(200, 500), Vec2(150, 0)))
+    reg.add_particle(ParticleObj(1, Vec2(600, 500)))
+    reg.add_beam(BeamObj(10, 0, 1))
+    # dangling beam: endpoint 99 doesn't exist → dashed magenta
+    reg.add_beam(BeamObj(11, 1, 99))
+    ed.selected_particles = {reg.find_particle(1)}
+    ed.snap_grid_size = 100.0
+
+    img = ed.render(resolution=256)
+    assert img.shape == (256, 256, 3)
+    flat = img.reshape(-1, 3)
+    # magenta pixels from the invalid beam
+    assert ((flat[:, 0] > 200) & (flat[:, 1] < 60) & (flat[:, 2] > 200)).any()
+    # pure red pixels from the velocity vector
+    assert ((flat[:, 0] > 200) & (flat[:, 1] < 60) & (flat[:, 2] < 60)).any()
+    # cyan selection outline
+    assert ((flat[:, 0] < 60) & (flat[:, 1] > 200) & (flat[:, 2] > 200)).any()
+    # snap grid gray
+    assert (flat == (85, 85, 85)).all(-1).any()
+    # HUD text pixels present (white, top rows)
+    top = img[:24].reshape(-1, 3)
+    assert (top == (255, 255, 255)).all(-1).any()
+
+    # overlay off → none of the overlay colors
+    img2 = ed.render(resolution=256, overlay=False)
+    flat2 = img2.reshape(-1, 3)
+    assert not ((flat2[:, 0] > 200) & (flat2[:, 1] < 60) & (flat2[:, 2] > 200)).any()
+    assert not (flat2 == (85, 85, 85)).all(-1).any()
+
+
+def test_draw_text_and_line_primitives():
+    from softbody_tpu.viz import draw_line, draw_text
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    draw_text(img, (2, 2), "AB 12:", (255, 255, 255), scale=1)
+    assert (img == 255).any()
+    img2 = np.zeros((64, 64, 3), np.uint8)
+    draw_line(img2, (0, 0), (63, 63), (0, 255, 0))
+    assert (img2[32, 32] == (0, 255, 0)).all()
+    img3 = np.zeros((64, 64, 3), np.uint8)
+    draw_line(img3, (0, 32), (63, 32), (255, 255, 255), dash=(6, 6))
+    row = img3[32, :, 0]
+    assert row.any() and not row.all()  # dashed: gaps exist
