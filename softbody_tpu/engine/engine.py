@@ -159,6 +159,37 @@ class Engine:
     def fps(self) -> float:
         return self._worker.fps
 
+    # ---- option-change re-creation (≙ main.ts:137-146) ----
+
+    def recreate(self, options: Optional[EngineOptions] = None,
+                 **overrides) -> "Engine":
+        """Rebuild the engine with new compile-time options, preserving
+        the world state through a snapshot — the reference's apply-options
+        flow (save → destroy → new engine → load, main.ts:137-146).
+
+        Pass a full ``EngineOptions`` or field overrides
+        (``recreate(subticks=32)``).  Returns the NEW engine; this one is
+        destroyed."""
+        import dataclasses
+
+        buf = self.save_snapshot()
+        initial = self._initial_state
+        opts = options if options is not None else dataclasses.replace(
+            self.options, **overrides
+        )
+        self.destroy()
+        new = self._construct_from_snapshot(buf, opts)
+        new._initial_state = initial
+        return new
+
+    def _construct_from_snapshot(self, buf: bytes, opts: EngineOptions):
+        from ..snapshot import load_snapshot
+
+        state, consts = load_snapshot(
+            buf, max_particles=opts.max_particles, max_beams=opts.max_beams
+        )
+        return Engine(state, consts, opts)
+
     # ---- lifecycle (engine.ts:225-238) ----
 
     def destroy(self) -> None:
@@ -218,4 +249,16 @@ class LatticeEngine(Engine):
             state = backend.pack_state(state)
         else:
             backend = LatticeBackend(spec, cfg, farfield=farfield)
+        self._spec = spec
+        self._farfield = farfield
+        self._fused = fused
+        self._tile_w = tile_w
         super().__init__(state, consts, options, backend=backend)
+
+    def _construct_from_snapshot(self, buf: bytes, opts: EngineOptions):
+        from ..snapshot import load_lattice_snapshot
+
+        state, consts = load_lattice_snapshot(buf)
+        return LatticeEngine(state, self._spec, consts, opts,
+                             farfield=self._farfield, fused=self._fused,
+                             tile_w=self._tile_w)

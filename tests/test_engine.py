@@ -264,3 +264,52 @@ def test_fused_lattice_engine_backend():
         wait_frames(eng, eng.stats().frame_index + 2)
         assert eng.reset()
         assert eng.error is None
+
+
+def test_recreate_preserves_state_on_option_change():
+    """≙ the reference's apply-options flow (main.ts:137-146): changing a
+    compile-time option rebuilds the engine around a snapshot."""
+    with small_engine() as eng:
+        wait_frames(eng, 3)
+        eng.set_initial_state()
+        pkt0 = eng.render_packet()
+        assert eng.options.subticks == 8
+        new = eng.recreate(subticks=32)
+        assert eng.destroyed
+    try:
+        assert new.options.subticks == 32
+        wait_frames(new, 1)
+        pkt1 = new.render_packet()
+        # state carried over: same shape, positions continuous (within a
+        # frame or two of drift)
+        assert pkt1.pos.shape == pkt0.pos.shape
+        assert np.abs(pkt1.pos - pkt0.pos).max() < 50.0
+        # initial-state slot survives re-creation
+        assert new.reset()
+        assert new.error is None
+    finally:
+        new.destroy()
+
+
+def test_recreate_lattice_engine():
+    from softbody_tpu.engine import LatticeEngine
+    from softbody_tpu.models import cloth_lattice
+
+    ls, spec, cfg = cloth_lattice(w=8, h=8, spacing=20.0, pin_top=True,
+                                  spring=5.0)
+    opts = EngineOptions(subticks=8, particle_radius=cfg.particle_radius,
+                         target_fps=None)
+    eng = LatticeEngine(ls, spec, options=opts)
+    try:
+        wait_frames(eng, 3)
+        new = eng.recreate(particle_radius=6.0)
+        assert eng.destroyed
+    finally:
+        eng.destroy()
+    try:
+        st = wait_frames(new, 1)
+        assert st.particle_count == 64
+        assert new.options.particle_radius == 6.0
+        assert new.error is None
+    finally:
+        new.destroy()
