@@ -100,13 +100,14 @@ def main() -> int:
         def far_rebuild(hot):
             pos = jnp.stack([hot[0], hot[1]], axis=-1)
             alive = immut[0] > 0.0
-            total, com = far_candidate_count(pos, alive, **kw)
             far["rebuilds"] += 1
-            if int(total) == 0:
-                far["list"] = empty_far_list_at(pos, com, ff)
-                far["active"] = None
-                far["pairs"] = 0
-                return
+            # hysteresis: only run the count-only pre-pass while empty
+            if far["pairs"] == 0:
+                total, com = far_candidate_count(pos, alive, **kw)
+                if int(total) == 0:
+                    far["list"] = empty_far_list_at(pos, com, ff)
+                    far["active"] = None
+                    return
             far["full"] += 1
             fl = rebuild_far_list(pos, alive, **kw)
             far["list"] = fl

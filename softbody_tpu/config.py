@@ -68,11 +68,13 @@ class StaticConfig:
     force_mode: str = "quantized"
     collision_tile: int = 512
     grid_cell_capacity: int = 8
+    # "window" broad phase: sorted-row window cap (see ops/collisions.py)
+    window_rows: int = 2048
     use_pallas: bool = False
 
     def __post_init__(self) -> None:
         object.__setattr__(self, "subticks", max(2, -(-self.subticks // 2) * 2))
-        if self.collision_mode not in ("none", "allpairs", "grid"):
+        if self.collision_mode not in ("none", "allpairs", "grid", "window"):
             raise ValueError(f"unknown collision_mode {self.collision_mode!r}")
         if self.force_mode not in ("segment", "quantized"):
             raise ValueError(f"unknown force_mode {self.force_mode!r}")

@@ -149,7 +149,9 @@ class LatticeBackend:
     def _far_rebuild(self, pos, alive) -> None:
         """Two-stage rebuild: a detection-only count first (the common
         no-fold frame skips the compaction machinery entirely), then the
-        full list build when candidates exist."""
+        full list build when candidates exist.  Hysteresis: while the
+        previous list was non-empty (persistent folds), skip the count
+        pre-pass — it would run the same detection twice."""
         from ..ops.farfield import (
             crop_far_list,
             empty_far_list_at,
@@ -159,14 +161,14 @@ class LatticeBackend:
 
         kw = dict(s=self.spec.collision_stencil, ff=self.ff,
                   radius=self.cfg.particle_radius)
-        total, com = far_candidate_count(pos, alive, **kw)
         self.far_rebuilds += 1
-        if int(total) == 0:
-            self._far_list = empty_far_list_at(pos, com, self.ff)
-            self._far_active = None
-            self.far_pairs = 0
-            self.far_overflow = 0
-            return
+        if self.far_pairs == 0:
+            total, com = far_candidate_count(pos, alive, **kw)
+            if int(total) == 0:
+                self._far_list = empty_far_list_at(pos, com, self.ff)
+                self._far_active = None
+                self.far_overflow = 0
+                return
         self._far_list = rebuild_far_list(pos, alive, **kw)
         self.far_pairs = int(self._far_list.n_pairs)
         self.far_overflow = int(self._far_list.overflow)

@@ -64,6 +64,8 @@ def collision_terms(
         return _allpairs(pos, vel, alive, consts, cfg, query)
     if cfg.collision_mode == "grid":
         return _grid(pos, vel, alive, consts, cfg, query)
+    if cfg.collision_mode == "window":
+        return _window(pos, vel, alive, consts, cfg, query)
     raise ValueError(cfg.collision_mode)
 
 
@@ -246,3 +248,98 @@ def _grid(pos, vel, alive, consts, cfg, query):
         pos_q, vel_q, p_j, v_j, valid, consts, cfg, idx_q, cand_idx
     )
     return dv.sum(1), da.sum(1), dy.sum(1)
+
+
+def _window(pos, vel, alive, consts, cfg, query):
+    """Sliding-window broad phase: the TPU-shaped successor of ``grid``.
+
+    The per-query candidate gather of ``_grid`` costs Q×9×K gather ROWS
+    (the TPU gather is priced per row) — the dominant term at 100k.  This
+    path exploits the cell sort's spatial coherence instead: particles
+    sorted by cell id (row-major cells) have all their true neighbors
+    inside ONE contiguous run of sorted positions — the cells between
+    rows cx−1 and cx+1.  Blocks of consecutive sorted particles share a
+    window, fetched as a single dense dynamic-slice (no gather), and the
+    pair math runs block × window with the exact reference semantics
+    masked by true distance.  Windows are capped at ``cfg.window_rows``
+    sorted rows; truncation is counted (overflow observability) like the
+    grid's cell-capacity clipping.
+
+    Sharded queries aren't supported (the spatial-sharding path uses the
+    grid); semantics otherwise identical to ``grid``/``allpairs``.
+    """
+    pos_q, vel_q, alive_q, idx_q = query
+    n = pos.shape[0]
+    if pos_q.shape[0] != n:
+        raise NotImplementedError("window mode supports full-set queries")
+    cell, g = _grid_geometry(cfg.bounds_size, cfg.particle_radius)
+    ncells = g * g
+    bsz = 256
+    wrows = cfg.window_rows
+
+    cx = jnp.clip((pos[:, 0] / cell).astype(jnp.int32), 0, g - 1)
+    cy = jnp.clip((pos[:, 1] / cell).astype(jnp.int32), 0, g - 1)
+    cid = jnp.where(alive, cx * g + cy, jnp.int32(ncells))
+    order = jnp.argsort(cid).astype(jnp.int32)
+    sorted_cid = cid[order]
+    # run boundaries only needed per cell ROW (g+2 queries, not g²)
+    row_starts = jnp.searchsorted(
+        sorted_cid, jnp.arange(g + 2, dtype=jnp.int32) * g, method="sort"
+    ).astype(jnp.int32)
+
+    table = jnp.concatenate(
+        [pos, vel, alive.astype(jnp.float32)[:, None],
+         jnp.arange(n, dtype=jnp.float32)[:, None],
+         jnp.zeros((n, 2), jnp.float32)],
+        axis=1,
+    )
+    table_sorted = table[order]  # one N-row gather
+
+    nb = -(-n // bsz)
+    npad = nb * bsz
+    table_blocks = jnp.pad(table_sorted, ((0, npad - n), (0, 0)))
+    scx = jnp.pad(jnp.clip(sorted_cid // g, 0, g - 1), (0, npad - n))
+    # dead/pad rows sort last; give them the last real row's cell so the
+    # block bounds stay tight
+    scx = jnp.where(jnp.arange(npad) < n, scx, scx[n - 1] if n else 0)
+    cx_min = jnp.min(scx.reshape(nb, bsz), axis=1)
+    cx_max = jnp.max(scx.reshape(nb, bsz), axis=1)
+    win_lo = row_starts[jnp.maximum(cx_min - 1, 0)]
+    win_hi = row_starts[jnp.minimum(cx_max + 2, g + 1)]
+    overflow = jnp.sum(jnp.maximum(win_hi - win_lo - wrows, 0))
+
+    table_win = jnp.pad(table_blocks, ((0, wrows), (0, 0)))
+
+    def block_terms(b):
+        blk = jax.lax.dynamic_slice_in_dim(table_blocks, b * bsz, bsz)
+        lo = win_lo[b]
+        win = jax.lax.dynamic_slice_in_dim(table_win, lo, wrows)
+        in_win = (jnp.arange(wrows, dtype=jnp.int32) + lo) < win_hi[b]
+        p_i = blk[:, 0:2]
+        v_i = blk[:, 2:4]
+        a_i = blk[:, 4] > 0.0
+        i_idx = blk[:, 5].astype(jnp.int32)
+        p_j = jnp.broadcast_to(win[None, :, 0:2], (bsz, wrows, 2))
+        v_j = jnp.broadcast_to(win[None, :, 2:4], (bsz, wrows, 2))
+        j_idx = jnp.broadcast_to(
+            win[None, :, 5].astype(jnp.int32), (bsz, wrows)
+        )
+        valid = (
+            a_i[:, None]
+            & (win[None, :, 4] > 0.0)
+            & in_win[None, :]
+            & (i_idx[:, None] != j_idx)
+        )
+        dv, da, dy = _pair_terms(
+            p_i, v_i, p_j, v_j, valid, consts, cfg, i_idx, j_idx
+        )
+        return dv.sum(1), da.sum(1), dy.sum(1)
+
+    dv_s, da_s, dy_s = jax.lax.map(
+        block_terms, jnp.arange(nb, dtype=jnp.int32)
+    )
+    dv_s = dv_s.reshape(npad, 2)[:n]
+    da_s = da_s.reshape(npad, 2)[:n]
+    dy_s = dy_s.reshape(npad)[:n]
+    inv = jnp.argsort(order).astype(jnp.int32)
+    return dv_s[inv], da_s[inv], dy_s[inv]

@@ -513,26 +513,25 @@ def far_collision_terms(
     k = fl.capacity
     ids = jnp.concatenate([fl.ca, fl.cb])  # [2k]
 
-    # Chunk-row gather WITHOUT a chunk-major transpose: view each padded
-    # plane as [wp * cwy, c] (pure reshape) — chunk (cx, cy) is the c
-    # consecutive-sublane rows {(cx·c + r)·cwy + cy} — and gather 2k·c
-    # rows per plane (rows are the unit the TPU gather is priced in).
-    row_ids = (
-        ((ids // cwy) * c)[:, None] * cwy
-        + jnp.arange(c, dtype=jnp.int32)[None, :] * cwy
-        + (ids % cwy)[:, None]
-    ).reshape(-1)  # [2k*c]
-
-    def gat(plane, fill=0.0):
-        v = _pad_plane(plane.astype(jnp.float32), wp, hp, fill)
-        rows = v.reshape(wp * cwy, c)[row_ids]  # [2k*c, c]
-        return rows.reshape(2 * k, cc)
-
-    g_px = gat(px)
-    g_py = gat(py)
-    g_vx = gat(vx)
-    g_vy = gat(vy)
-    g_al = gat(alive)
+    # Chunk-record gather from ONE packed-wide table [Cn, 5·cc]: any
+    # array with a small trailing dimension pays the (8,128)-tile lane
+    # padding (a [·, 4] view costs 32× its logical bytes — measured as
+    # milliseconds of relayout per plane at 1M), so the five planes are
+    # transposed once into 80-lane rows and fetched with a single
+    # 2k-row gather.
+    stack = jnp.stack([px, py, vx, vy, alive.astype(jnp.float32)])
+    stack = jnp.pad(stack, ((0, 0), (0, wp - w), (0, hp - h)))
+    tbl = (
+        stack.reshape(5, cwx, c, cwy, c)
+        .transpose(1, 3, 0, 2, 4)
+        .reshape(cwx * cwy, 5 * cc)
+    )
+    g = tbl[ids]  # [2k, 5*cc]
+    g_px = g[:, 0 * cc : 1 * cc]
+    g_py = g[:, 1 * cc : 2 * cc]
+    g_vx = g[:, 2 * cc : 3 * cc]
+    g_vy = g[:, 3 * cc : 4 * cc]
+    g_al = g[:, 4 * cc : 5 * cc]
 
     # global index planes derived from chunk id (no gather needed);
     # int32 linear index: exact at any lattice size (f32 would lose unit

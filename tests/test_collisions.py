@@ -99,3 +99,49 @@ def test_dead_particles_ignored():
         )
         assert float(jnp.abs(dv).sum()) == 0.0
         assert float(jnp.abs(da).sum()) == 0.0
+
+
+def test_window_matches_allpairs():
+    """The sliding-window broad phase must reproduce allpairs exactly
+    (same pair math, superset candidate windows, true-distance mask)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from softbody_tpu import PhysicsConstants, StaticConfig
+    from softbody_tpu.ops.collisions import collision_terms
+
+    rng = np.random.default_rng(11)
+    n = 700
+    pos = jnp.asarray(rng.uniform(30, 970, (n, 2)).astype(np.float32))
+    vel = jnp.asarray(rng.normal(0, 20, (n, 2)).astype(np.float32))
+    alive = jnp.asarray(rng.random(n) > 0.1)
+    consts = PhysicsConstants.default()
+    cfg_ap = StaticConfig(collision_mode="allpairs", particle_radius=12.0)
+    cfg_w = StaticConfig(collision_mode="window", particle_radius=12.0,
+                         window_rows=512)
+    dv0, da0, dy0 = collision_terms(pos, vel, alive, consts, cfg_ap)
+    dv1, da1, dy1 = collision_terms(pos, vel, alive, consts, cfg_w)
+    np.testing.assert_allclose(np.asarray(dv1), np.asarray(dv0),
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(da1), np.asarray(da0),
+                               rtol=0, atol=1e-1)  # dt^-2 scaled terms
+    np.testing.assert_array_equal(np.asarray(dy1), np.asarray(dy0))
+
+
+def test_window_coincident_and_dead():
+    import jax.numpy as jnp
+
+    from softbody_tpu import PhysicsConstants, StaticConfig
+    from softbody_tpu.ops.collisions import collision_terms
+
+    pos = jnp.asarray([[100.0, 100.0], [100.0, 100.0], [500.0, 500.0],
+                       [100.0, 100.0]], jnp.float32)
+    vel = jnp.zeros((4, 2), jnp.float32)
+    alive = jnp.asarray([True, True, True, False])
+    consts = PhysicsConstants.default()
+    cfg = StaticConfig(collision_mode="window", particle_radius=10.0)
+    dv, da, dy = collision_terms(pos, vel, alive, consts, cfg)
+    # coincident pair 0-1: nudges by sign(i-j); dead particle 3 inert
+    assert float(dy[0]) == -1.0 and float(dy[1]) == 1.0
+    assert float(dy[3]) == 0.0
