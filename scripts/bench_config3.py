@@ -1,0 +1,73 @@
+"""Config-3 (100k self-colliding cloth, general path) perf probe.
+
+Times the full frame step plus isolated pieces (beams-only, collisions-only)
+for each collision mode so the bottleneck is visible.  Run on the real TPU:
+
+    python scripts/bench_config3.py [grid window none]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> int:
+    modes = sys.argv[1:] or ["grid", "window", "none"]
+
+    t0 = time.time()
+    np.asarray(jax.block_until_ready(jnp.zeros(8)))
+    print(f"warmup readback {time.time() - t0:.1f}s; devices={jax.devices()}",
+          flush=True)
+
+    import dataclasses
+
+    from softbody_tpu import PhysicsConstants, UserInput
+    from softbody_tpu.models import self_colliding_cloth
+    from softbody_tpu.ops.step import frame
+
+    state, cfg0 = self_colliding_cloth()
+    n = int(np.asarray(state.particle_alive).sum())
+    m = int(np.asarray(state.beam_alive).sum())
+    print(f"{n} particles, {m} beams, radius={cfg0.particle_radius:.3f}, "
+          f"D={state.inc_beam.shape[1]}", flush=True)
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+
+    def sync(s):
+        return jax.device_get(s.pos[0, 0])
+
+    # settle the cloth a few frames first so the fold actually happens
+    settle = jax.jit(lambda s: frame(s, consts, uin, cfg0))
+    for _ in range(4):
+        state = settle(state)
+    _ = sync(state)
+
+    for mode in modes:
+        cfg = dataclasses.replace(cfg0, collision_mode=mode)
+        step = jax.jit(lambda s, _cfg=cfg: frame(s, consts, uin, _cfg))
+        t0 = time.time()
+        s = step(state)
+        _ = sync(s)
+        print(f"[{mode}] compile+first {time.time() - t0:.1f}s", flush=True)
+        frames = 4
+        t0 = time.time()
+        for _ in range(frames):
+            s = step(s)
+        _ = sync(s)
+        el = time.time() - t0
+        sps = frames * cfg.subticks / el
+        print(f"[{mode}] {frames} frames in {el:.2f}s -> {sps:.1f} substeps/s "
+              f"({sps * n:.3g} particle-substeps/s)", flush=True)
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
