@@ -116,6 +116,10 @@ class LatticeBackend:
     """
 
     _FAR_BUCKETS = (64, 256, 1024)
+    # below this validity horizon (in substeps) a rebuild is cheaper than
+    # dicing the frame further; chunks are powers of two to bound the
+    # number of compiled n_sub variants
+    _MIN_CHUNK = 4
 
     def __init__(self, spec, cfg: StaticConfig, farfield=None) -> None:
         from ..ops.stencil import lattice_frame_far_jit, lattice_frame_jit
@@ -131,20 +135,21 @@ class LatticeBackend:
         self.far_rebuilds = 0
         self.far_pairs = 0
         self.far_overflow = 0
+        self.far_chunks = 0           # frame chunks run (observability)
 
-    def _far_maybe_rebuild(self, state) -> None:
+    def _motion(self, state):
+        """(COM-relative displacement since rebuild, max relative speed).
+        One batched readback."""
+        import jax
+
         from ..ops.farfield import displacement_check, max_relative_speed
 
-        budget = self.ff.skin * 0.5
-        frame_t = self.cfg.subticks * self.cfg.dt
-        vrel = float(max_relative_speed(state.vel, state.alive))
-        projected = 2.0 * vrel * frame_t
-        if self._far_list is not None:
-            disp = float(displacement_check(state.pos, state.alive,
-                                            self._far_list))
-            if disp + projected <= budget:
-                return
-        self._far_rebuild(state.pos, state.alive)
+        vrel = max_relative_speed(state.vel, state.alive)
+        if self._far_list is None:
+            return float("inf"), float(jax.device_get(vrel))
+        disp = displacement_check(state.pos, state.alive, self._far_list)
+        d, v = jax.device_get((disp, vrel))
+        return float(d), float(v)
 
     def _far_rebuild(self, pos, alive) -> None:
         """Two-stage rebuild: a detection-only count first (the common
@@ -181,13 +186,55 @@ class LatticeBackend:
                 self._far_list, min(k, self.ff.max_pairs)
             )
 
+    def _frame_chunk(self, state, consts, uin, n_sub, observe):
+        # the XLA stencil path keeps strain/stress in-loop (see
+        # lattice_frame's NOTE), so ``observe`` is accepted for interface
+        # parity and ignored
+        if self._far_active is not None:
+            return self._frame_far(state, self._far_active, consts, uin,
+                                   self.spec, self.cfg, self.ff,
+                                   n_sub=n_sub)
+        return self._frame(state, consts, uin, self.spec, self.cfg,
+                           n_sub=n_sub)
+
+    def _pos_alive(self, state):
+        return state.pos, state.alive
+
     def step(self, state, consts, uin):
-        if self.ff is not None and self.cfg.collision_mode != "none":
-            self._far_maybe_rebuild(state)
-            if self._far_active is not None:
-                return self._frame_far(state, self._far_active, consts, uin,
-                                       self.spec, self.cfg, self.ff)
-        return self._frame(state, consts, uin, self.spec, self.cfg)
+        """One frame.  With far-field armed the frame is run as chunks
+        whose length never exceeds the candidate list's validity horizon:
+        the Verlet list built at ``pos_ref`` covers every pair reachable
+        while no particle's COM-relative displacement exceeds skin/2
+        (ops/farfield.py docstring), so with max relative speed v the
+        list stays exact for ⌊(skin/2 − disp)/(2·v·dt)⌋ more substeps
+        (safety factor 2 for mid-chunk speed growth).  Horizons shorter
+        than _MIN_CHUNK trigger a rebuild instead."""
+        if self.ff is None or self.cfg.collision_mode == "none":
+            return self._frame(state, consts, uin, self.spec, self.cfg)
+
+        dt = self.cfg.dt
+        budget = self.ff.skin * 0.5
+        remaining = self.cfg.subticks
+        while remaining > 0:
+            disp, vrel = self._motion(state)
+            denom = max(2.0 * vrel * dt, 1e-12)
+            horizon = (budget - disp) / denom
+            if horizon < min(self._MIN_CHUNK, remaining):
+                pos, alive = self._pos_alive(state)
+                self._far_rebuild(pos, alive)
+                horizon = max(budget / denom, 1.0)
+            # largest power of two ≤ min(remaining, horizon): bounds the
+            # compiled n_sub variants to {1, 2, 4, …, subticks}
+            j = 1
+            while 2 * j <= min(remaining, int(max(horizon, 1.0))):
+                j *= 2
+            state = self._frame_chunk(state, consts, uin,
+                                      n_sub=j if j != self.cfg.subticks
+                                      else None,
+                                      observe=(j == remaining))
+            self.far_chunks += 1
+            remaining -= j
+        return state
 
 
     def extract(self, state):
@@ -316,36 +363,50 @@ class FusedLatticeBackend(LatticeBackend):
         hot, obs = state
         return unpack_lattice2(hot, obs, self._template)
 
-    def _far_maybe_rebuild(self, state) -> None:
-        from ..ops.pallas.fused_substep2 import ALIVE, PX, PY, packed_far_motion2
+    def _motion(self, state):
+        from ..ops.pallas.fused_substep2 import (
+            ALIVE, VX, VY, packed_far_motion2,
+        )
+        from ..ops.farfield import max_relative_speed
 
         hot, _ = state
-        budget = self.ff.skin * 0.5
-        frame_t = self.cfg.subticks * self.cfg.dt
-        if self._far_list is not None:
-            disp, vrel = packed_far_motion2(hot, self._immut, self._far_list)
-            if float(disp) + 2.0 * float(vrel) * frame_t <= budget:
-                return
-        pos = jnp.stack([hot[PX], hot[PY]], axis=-1)
-        alive = self._immut[ALIVE] > 0.0
-        self._far_rebuild(pos, alive)
+        if self._far_list is None:
+            vel = jnp.stack([hot[VX], hot[VY]], axis=-1)
+            vrel = max_relative_speed(vel, self._immut[ALIVE] > 0.0)
+            return float("inf"), float(jax.device_get(vrel))
+        disp, vrel = packed_far_motion2(hot, self._immut, self._far_list)
+        d, v = jax.device_get((disp, vrel))
+        return float(d), float(v)
 
-    def step(self, state, consts, uin):
+    def _pos_alive(self, state):
+        from ..ops.pallas.fused_substep2 import ALIVE, PX, PY
+
+        hot, _ = state
+        pos = jnp.stack([hot[PX], hot[PY]], axis=-1)
+        return pos, self._immut[ALIVE] > 0.0
+
+    def _frame_chunk(self, state, consts, uin, n_sub, observe):
         from ..ops.pallas.fused_substep2 import fused_frame2, fused_frame2_far
 
         interp = jax.default_backend() != "tpu"
         hot, obs = state
-        if self.ff is not None and self.cfg.collision_mode != "none":
-            self._far_maybe_rebuild(state)
-            if self._far_active is not None:
-                return fused_frame2_far(
-                    hot, obs, self._immut, self._edge_consts,
-                    self._far_active, consts, uin, self.spec, self.cfg,
-                    self.ff, tile_w=self.tile_w, interpret=interp,
-                )
+        if self._far_active is not None:
+            return fused_frame2_far(
+                hot, obs, self._immut, self._edge_consts,
+                self._far_active, consts, uin, self.spec, self.cfg,
+                self.ff, tile_w=self.tile_w, interpret=interp,
+                n_sub=n_sub, observe=observe,
+            )
         return fused_frame2(hot, obs, self._immut, self._edge_consts,
                             consts, uin, self.spec, self.cfg,
-                            tile_w=self.tile_w, interpret=interp)
+                            tile_w=self.tile_w, interpret=interp,
+                            n_sub=n_sub, observe=observe)
+
+    def step(self, state, consts, uin):
+        if self.ff is None or self.cfg.collision_mode == "none":
+            return self._frame_chunk(state, consts, uin, n_sub=None,
+                                     observe=True)
+        return super().step(state, consts, uin)
 
     def extract(self, state):
         return super().extract(self.unpack_state(state))

@@ -30,10 +30,10 @@ in exactly one bucket by *chunk*-Chebyshev distance:
    with the same AABB test, masked to chunk-chebyshev ≥ 2·tile_chunks.
 
 The three sources are disjoint in chunk distance, so concatenating them
-never duplicates a pair.  Candidate compaction uses ``jnp.nonzero`` with
-static ``size=`` capacities; dropped candidates are counted in
-``overflow`` (graceful degradation, like the collision grid's overflow
-counter).
+never duplicates a pair.  Candidate compaction uses sort-based index
+extraction (``_nz``) at static capacities; dropped candidates are
+counted in ``overflow`` (graceful degradation, like the collision grid's
+overflow counter).
 
 Per-substep, the candidate chunk pairs are processed with the *exact*
 reference pair math (identical to ops/stencil.py::_stencil_collisions,
@@ -68,6 +68,24 @@ import jax
 import jax.numpy as jnp
 
 _BIG = jnp.float32(3.0e38)
+
+
+def _nz(flags: jax.Array, size: int) -> jax.Array:
+    """First ``size`` indices of true elements (ascending, flattened).
+
+    ``jnp.nonzero(size=)`` lowers through bincount — a scatter over EVERY
+    input element (measured 13 ms on a 1.1M-bool plane,
+    scripts/profile_rebuild.py).  One int32 sort produces the same
+    ascending index list 2.6× faster.  Out-of-range slots (beyond the
+    true count) clamp to the last element; callers mask them via counts.
+    """
+    n = int(np.prod(flags.shape))
+    flat = flags.reshape(-1)
+    keys = jnp.where(flat, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+    idx = jax.lax.sort(keys, is_stable=False)[: min(size, n)]
+    if n < size:
+        idx = jnp.pad(idx, (0, size - n), constant_values=n - 1)
+    return jnp.minimum(idx, n - 1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -285,11 +303,21 @@ def _detection(pos, alive, *, s: int, ff: FarFieldSpec, radius: float):
     far_tile = ov & (tcheb >= 2) & (lin_t[:, None] < lin_t[None, :])
 
     k1 = ff.max_tile_pairs
-    ti_a, ti_b = jnp.nonzero(far_tile, size=k1, fill_value=0)
-    tile_valid = (
-        jnp.arange(k1) < jnp.sum(far_tile)
-    )
-    tile_overflow = jnp.maximum(jnp.sum(far_tile.astype(jnp.int32)) - k1, 0)
+    # two-stage compaction: rows with any pair first (every flagged row
+    # holds ≥1 pair so k1 rows suffice for k1 pairs), then the pairs of
+    # those rows — keeps the big _nz on [k1, tn] instead of [tn, tn]
+    row_any = jnp.any(far_tile, axis=1)
+    n_rows = jnp.sum(row_any.astype(jnp.int32))
+    r_idx = _nz(row_any, k1)
+    row_ok = jnp.arange(k1) < jnp.minimum(n_rows, k1)
+    strip = far_tile[r_idx] & row_ok[:, None]  # [k1, tn]
+    total_tiles = jnp.sum(far_tile.astype(jnp.int32))
+    taken = jnp.minimum(jnp.sum(strip.astype(jnp.int32)), k1)
+    e3 = _nz(strip, k1)
+    ti_a = r_idx[e3 // tn]
+    ti_b = (e3 % tn).astype(jnp.int32)
+    tile_valid = jnp.arange(k1) < taken
+    tile_overflow = total_tiles - taken
 
     # gather each far tile pair's chunk AABBs: [k1, tc*tc, ...]
     def tile_chunks_of(tid):
@@ -364,31 +392,36 @@ def rebuild_far_list(
     """Build the candidate chunk-pair list from current positions.
 
     All work is dense (reductions, shifted compares, one [T, T] tile
-    test) plus three fixed-capacity ``nonzero`` compactions — no sort, no
-    gather beyond the tile refinement's [K1, 64, 4] AABB fetch.
+    test) plus three fixed-capacity sort-based compactions (``_nz``).
     """
     (band_stack, ann_stack, ref_ov, ca_ids, cb_ids, tile_overflow,
      adj_offsets, ann_offsets, cwy, com) = _detection(
          pos, alive, s=s, ff=ff, radius=radius)
 
     # ---- compact the three sources --------------------------------------
-    # jnp.nonzero(size=) lowers through bincount = a scatter over EVERY
-    # input element (measured 300 ms on the 39M-entry annulus stack), so
-    # never call it on a full stencil stack: reduce over the offset axis
-    # first, nonzero the small [cwx, cwy] any-plane, gather only the hit
-    # chunks' offset rows, and nonzero that [k2, n_off] strip.
+    # Never compact a full stencil stack in one go: reduce over the
+    # offset axis first, take the (few) hit chunks, gather only their
+    # offset rows, and compact that [k2, n_off] strip.  All index
+    # extraction goes through the sort-based ``_nz`` (bincount-free).
     k2 = ff.max_pairs
 
     def compact_offset_stack(stack, offs_arr):
         """[n_off, cwx, cwy] bool → (ca, cb, valid, n, overflow)."""
-        n_off = stack.shape[0]
+        n_off, cwx_, cwy_ = stack.shape
         any_hit = jnp.any(stack, axis=0)
         n_chunks = jnp.sum(any_hit.astype(jnp.int32))
-        hx_, hy_ = jnp.nonzero(any_hit, size=k2, fill_value=0)
+        h_idx = _nz(any_hit, k2)          # linear chunk ids, ascending
+        hx_ = h_idx // cwy_
+        hy_ = h_idx % cwy_
         chunk_ok = jnp.arange(k2) < jnp.minimum(n_chunks, k2)
-        rows = stack[:, hx_, hy_].T & chunk_ok[:, None]  # [k2, n_off]
+        rows = (
+            stack.reshape(n_off, cwx_ * cwy_)[:, h_idx].T
+            & chunk_ok[:, None]
+        )  # [k2, n_off]
         total = jnp.sum(stack.astype(jnp.int32))
-        e_r, e_o = jnp.nonzero(rows, size=k2, fill_value=0)
+        e_flat = _nz(rows, k2)
+        e_r = e_flat // n_off
+        e_o = e_flat % n_off
         n = jnp.minimum(jnp.sum(rows.astype(jnp.int32)), k2)
         ca = hx_[e_r] * cwy + hy_[e_r]
         cb = (hx_[e_r] + offs_arr[e_o, 0]) * cwy + (hy_[e_r] + offs_arr[e_o, 1])
@@ -403,15 +436,20 @@ def rebuild_far_list(
     )
 
     # far: entry (pair, i, j) → (ca_ids[pair, i], cb_ids[pair, j]);
-    # reduce over j first so the big nonzero runs on [k1, tc²] not
+    # reduce over j first so the big compaction runs on [k1, tc²] not
     # [k1, tc², tc²]
+    k1, tcc = ref_ov.shape[0], ref_ov.shape[1]
     any_j = jnp.any(ref_ov, axis=2)  # [k1, tc*tc]
     p_i_n = jnp.sum(any_j.astype(jnp.int32))
-    r_p, r_i = jnp.nonzero(any_j, size=k2, fill_value=0)
+    ri_flat = _nz(any_j, k2)
+    r_p = ri_flat // tcc
+    r_i = ri_flat % tcc
     row_ok = jnp.arange(k2) < jnp.minimum(p_i_n, k2)
     jrows = ref_ov[r_p, r_i, :] & row_ok[:, None]  # [k2, tc*tc]
     f_total = jnp.sum(ref_ov.astype(jnp.int32))
-    e_r2, f_j = jnp.nonzero(jrows, size=k2, fill_value=0)
+    ej_flat = _nz(jrows, k2)
+    e_r2 = ej_flat // tcc
+    f_j = ej_flat % tcc
     f_n = jnp.minimum(jnp.sum(jrows.astype(jnp.int32)), k2)
     far_ca = ca_ids[r_p[e_r2], r_i[e_r2]]
     far_cb = cb_ids[r_p[e_r2], f_j]
@@ -513,20 +551,21 @@ def far_collision_terms(
     k = fl.capacity
     ids = jnp.concatenate([fl.ca, fl.cb])  # [2k]
 
-    # Chunk-record gather from ONE packed-wide table [Cn, 5·cc]: any
-    # array with a small trailing dimension pays the (8,128)-tile lane
-    # padding (a [·, 4] view costs 32× its logical bytes — measured as
-    # milliseconds of relayout per plane at 1M), so the five planes are
-    # transposed once into 80-lane rows and fetched with a single
-    # 2k-row gather.
+    # Chunk-record fetch as a WINDOWED gather straight off the plane
+    # layout: advanced indexing with [2k, c, c] coordinate grids lowers
+    # to one XLA gather of (c, c) slices.  Measured (single-jit frame
+    # bisection, scripts/profile_far2.py): 0.43 ms/substep at 1M incl.
+    # the pair math, vs 2.6 ms for the former chunk-major table relayout
+    # + row gather.  Out-of-range coordinates on padded edge chunks are
+    # clamped by XLA gather semantics and masked out by ``fl.valid``.
     stack = jnp.stack([px, py, vx, vy, alive.astype(jnp.float32)])
-    stack = jnp.pad(stack, ((0, 0), (0, wp - w), (0, hp - h)))
-    tbl = (
-        stack.reshape(5, cwx, c, cwy, c)
-        .transpose(1, 3, 0, 2, 4)
-        .reshape(cwx * cwy, 5 * cc)
-    )
-    g = tbl[ids]  # [2k, 5*cc]
+    cx_ids = (ids // cwy).astype(jnp.int32)
+    cy_ids = (ids % cwy).astype(jnp.int32)
+    ii = jnp.arange(c, dtype=jnp.int32)
+    xi = (cx_ids[:, None] * c + ii[None, :])[:, :, None]  # [2k, c, 1]
+    yj = (cy_ids[:, None] * c + ii[None, :])[:, None, :]  # [2k, 1, c]
+    gw = stack[:, xi, yj]  # [5, 2k, c, c]
+    g = gw.transpose(1, 0, 2, 3).reshape(2 * k, 5 * cc)
     g_px = g[:, 0 * cc : 1 * cc]
     g_py = g[:, 1 * cc : 2 * cc]
     g_vx = g[:, 2 * cc : 3 * cc]
@@ -536,11 +575,9 @@ def far_collision_terms(
     # global index planes derived from chunk id (no gather needed);
     # int32 linear index: exact at any lattice size (f32 would lose unit
     # differences past 2^24 elements)
-    cx2 = (ids // cwy)[:, None]
-    cy2 = (ids % cwy)[:, None]
     kk = jnp.arange(cc, dtype=jnp.int32)[None, :]
-    g_ix = cx2 * c + kk // c
-    g_iy = cy2 * c + kk % c
+    g_ix = cx_ids[:, None] * c + kk // c
+    g_iy = cy_ids[:, None] * c + kk % c
     g_lin = g_ix * world_h + g_iy
 
     def halves(x):
@@ -605,33 +642,22 @@ def far_collision_terms(
         axis=0,
     ).reshape(2 * k, 5 * cc)
 
-    # Scatter-add on the MXU: TPU scatter is near-serial per row, so a
-    # 2k-row .at[].add costs milliseconds.  Instead accumulate through a
-    # one-hot contraction out[x, y·5cc] = Σ_e onehotX[x, e] · (onehotY ⊗
-    # contrib)[e, y·5cc], blocked over entries to bound the [blk, cwy·5cc]
-    # intermediate.  Duplicate chunk ids sum naturally.
-    exs = (ids // cwy).astype(jnp.int32)
-    eys = (ids % cwy).astype(jnp.int32)
-    xs_iota = jnp.arange(cwx, dtype=jnp.int32)
-    ys_iota = jnp.arange(cwy, dtype=jnp.int32)
-    blk = min(2 * k, 512)
-    out_flat = jnp.zeros((cwx, cwy * 5 * cc), jnp.float32)
-    for b0 in range(0, 2 * k, blk):
-        ex = exs[b0 : b0 + blk]
-        ey = eys[b0 : b0 + blk]
-        cb_ = contrib[b0 : b0 + blk]
-        bl = ex.shape[0]  # last block may be short
-        ohx = (xs_iota[:, None] == ex[None, :]).astype(jnp.float32)
-        ohy = (ey[:, None] == ys_iota[None, :]).astype(jnp.float32)
-        d = (ohy[:, :, None] * cb_[:, None, :]).reshape(bl, cwy * 5 * cc)
-        out_flat = out_flat + jnp.dot(
-            ohx, d, preferred_element_type=jnp.float32
-        )
-    planes = (
-        out_flat.reshape(cwx, cwy, 5, c, c)
-        .transpose(2, 0, 3, 1, 4)
-        .reshape(5, wp, hp)[:, :w, :h]
-    )
+    # Scatter back as a FLAT element scatter-add: 2k·cc linear indices
+    # per plane.  Measured (scripts/profile_far2.py frame bisection):
+    # 0.71 ms/substep at 1M vs 2.5 ms for the former blocked one-hot MXU
+    # contraction + chunk-major output transpose — the transposes, not
+    # the arithmetic, were the cost.  Duplicate chunk ids sum naturally;
+    # invalid entries carry zero contributions (masked above), so their
+    # chunk-0 target indices are harmless.
+    kk2 = jnp.arange(cc, dtype=jnp.int32)
+    lin_scatter = (
+        (cx_ids[:, None] * c + kk2[None, :] // c) * hp
+        + (cy_ids[:, None] * c + kk2[None, :] % c)
+    ).reshape(-1)  # [2k*cc]
+    vals = contrib.reshape(2 * k, 5, cc).transpose(1, 0, 2).reshape(5, -1)
+    out = jnp.zeros((5, wp * hp), jnp.float32)
+    out = jax.vmap(lambda o, v: o.at[lin_scatter].add(v))(out, vals)
+    planes = out.reshape(5, wp, hp)[:, :w, :h]
     return tuple(planes[i] for i in range(5))
 
 

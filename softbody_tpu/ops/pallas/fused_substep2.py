@@ -624,14 +624,19 @@ def fused_substep2_call(hot, immut, consts_vec, *, w: int, h: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spec", "cfg", "tile_w", "interpret"),
+    static_argnames=("spec", "cfg", "tile_w", "interpret", "n_sub",
+                     "observe"),
     donate_argnames=("hot", "obs"),
 )
 def fused_frame2(hot, obs, immut, edge_consts, consts: PhysicsConstants,
                  uin: UserInput, spec, cfg: StaticConfig,
-                 tile_w: int = 128, interpret: bool = False):
-    """One frame: ``subticks−1`` hot substeps + 1 observing substep.
-    Returns (hot', obs')."""
+                 tile_w: int = 128, interpret: bool = False,
+                 n_sub: Optional[int] = None, observe: bool = True):
+    """One frame: ``n_sub−1`` hot substeps + 1 observing substep
+    (``n_sub`` defaults to ``cfg.subticks``).  ``observe=False`` runs
+    ``n_sub`` hot substeps and passes ``obs`` through untouched — used by
+    the engine's mid-frame chunking (far-list validity horizons) where
+    only the frame's final chunk observes.  Returns (hot', obs')."""
     w, h = padded_dims(spec.width, spec.height, tile_w)
     cvec = jnp.concatenate(
         [_consts_vector(consts, uin, cfg, spec.height), edge_consts]
@@ -640,26 +645,33 @@ def fused_frame2(hot, obs, immut, edge_consts, consts: PhysicsConstants,
     stencil = 0 if cfg.collision_mode == "none" else spec.collision_stencil
     kw = dict(w=w, h=h, stencil=stencil, quantized=quantized,
               tile_w=tile_w, interpret=interpret)
+    n = cfg.subticks if n_sub is None else n_sub
 
     def body(m, _):
         return fused_substep2_call(m, immut, cvec, **kw), None
 
-    hot, _ = jax.lax.scan(body, hot, None, length=cfg.subticks - 1)
+    if not observe:
+        hot, _ = jax.lax.scan(body, hot, None, length=n)
+        return hot, obs
+    hot, _ = jax.lax.scan(body, hot, None, length=n - 1)
     return fused_substep2_call(hot, immut, cvec, obs_in=obs, **kw)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spec", "cfg", "ffspec", "tile_w", "interpret"),
+    static_argnames=("spec", "cfg", "ffspec", "tile_w", "interpret",
+                     "n_sub", "observe"),
     donate_argnames=("hot", "obs"),
 )
 def fused_frame2_far(hot, obs, immut, edge_consts, fl,
                      consts: PhysicsConstants, uin: UserInput, spec,
                      cfg: StaticConfig, ffspec, tile_w: int = 128,
-                     interpret: bool = False):
+                     interpret: bool = False, n_sub: Optional[int] = None,
+                     observe: bool = True):
     """fused_frame2 with far-field contacts: each substep computes the
     far delta planes in XLA from the carry (ops/farfield.py) and the
-    kernel consumes them (same contract as v1's fused_frame_far)."""
+    kernel consumes them (same contract as v1's fused_frame_far).
+    ``n_sub``/``observe`` as in :func:`fused_frame2`."""
     from ..farfield import far_collision_terms
 
     w, h = padded_dims(spec.width, spec.height, tile_w)
@@ -672,6 +684,7 @@ def fused_frame2_far(hot, obs, immut, edge_consts, fl,
     alive_plane = immut[ALIVE] > 0.0
     kw = dict(w=w, h=h, stencil=stencil, quantized=quantized,
               tile_w=tile_w, interpret=interpret)
+    n = cfg.subticks if n_sub is None else n_sub
 
     def far_of(m):
         deltas = far_collision_terms(
@@ -686,7 +699,10 @@ def fused_frame2_far(hot, obs, immut, edge_consts, fl,
     def body(m, _):
         return fused_substep2_call(m, immut, cvec, far=far_of(m), **kw), None
 
-    hot, _ = jax.lax.scan(body, hot, None, length=cfg.subticks - 1)
+    if not observe:
+        hot, _ = jax.lax.scan(body, hot, None, length=n)
+        return hot, obs
+    hot, _ = jax.lax.scan(body, hot, None, length=n - 1)
     return fused_substep2_call(hot, immut, cvec, far=far_of(hot),
                                obs_in=obs, **kw)
 

@@ -475,6 +475,7 @@ def lattice_frame(
     uin: UserInput,
     spec: LatticeSpec,
     cfg: StaticConfig,
+    n_sub: Optional[int] = None,
 ) -> LatticeState:
     # NOTE: an obs-skip variant (scan(subticks-1) without strain/stress
     # writes + one observing substep) measured SLOWER under donation —
@@ -484,13 +485,14 @@ def lattice_frame(
     def body(carry, _):
         return lattice_substep(carry, consts, uin, spec, cfg), None
 
-    out, _ = jax.lax.scan(body, state, None, length=cfg.subticks)
+    n = cfg.subticks if n_sub is None else n_sub
+    out, _ = jax.lax.scan(body, state, None, length=n)
     return out
 
 
 lattice_frame_jit = jax.jit(
     lattice_frame,
-    static_argnames=("spec", "cfg"),
+    static_argnames=("spec", "cfg", "n_sub"),
     donate_argnames=("state",),
 )
 
@@ -503,10 +505,12 @@ def lattice_frame_far(
     spec: LatticeSpec,
     cfg: StaticConfig,
     ffspec,
+    n_sub: Optional[int] = None,
 ) -> LatticeState:
     """One frame with far-field contacts: the candidate list is fixed for
     the whole frame (Verlet-list validity is the caller's contract — see
-    ops/farfield.py and LatticeBackend's rebuild trigger)."""
+    ops/farfield.py and LatticeBackend's rebuild trigger; the backend may
+    run a frame as several shorter chunks via ``n_sub``)."""
 
     def body(carry, _):
         return (
@@ -515,13 +519,14 @@ def lattice_frame_far(
             None,
         )
 
-    out, _ = jax.lax.scan(body, state, None, length=cfg.subticks)
+    n = cfg.subticks if n_sub is None else n_sub
+    out, _ = jax.lax.scan(body, state, None, length=n)
     return out
 
 
 lattice_frame_far_jit = jax.jit(
     lattice_frame_far,
-    static_argnames=("spec", "cfg", "ffspec"),
+    static_argnames=("spec", "cfg", "ffspec", "n_sub"),
     donate_argnames=("state",),
 )
 
