@@ -46,15 +46,14 @@ def main() -> int:
     consts, uin = PhysicsConstants.default(), UserInput.none()
     t0 = time.time()
     far_stats = {}
-    rehearse = None
     if path == "fused" and scene_name == "tearing_cloth":
         # fused Pallas kernel v2 (18-plane hot carry, scalar edge params,
         # pre-rotated lane copies) driven through the real engine backend
-        # (FusedLatticeBackend), far-field self-collision armed with a
-        # Verlet candidate list (ops/farfield.py) rebuilt adaptively and
-        # frame-chunked to the list's validity horizon.
-        import jax.numpy as jnp
-
+        # (FusedLatticeBackend).  Far-field self-collision rides the
+        # substep scan ON DEVICE (fused_frame2_auto): Verlet candidate
+        # list in the scan carry, lax.cond rebuild on the displacement
+        # trigger, far apply only when the list is non-empty — one
+        # compiled frame covers every phase, no rehearsal needed.
         from softbody_tpu.engine.backends import FusedLatticeBackend
         from softbody_tpu.models import tearing_cloth_lattice
         from softbody_tpu.ops.farfield import FarFieldSpec
@@ -73,7 +72,7 @@ def main() -> int:
         log(f"scene {scene_name} (fused v2 backend, lattice {w}x{h}): {n} "
             f"particles, {m} springs, stencil r={spec.collision_stencil}, "
             f"subticks={cfg.subticks}, fall={fall_speed}, "
-            f"farfield={'armed' if far_enabled else 'off'} "
+            f"farfield={'armed (on-device)' if far_enabled else 'off'} "
             f"(K={far_k}, skin={0.5 * spacing:.2f}) "
             f"(built in {time.time() - t0:.1f}s)")
         backend = FusedLatticeBackend(spec, cfg, farfield=ff, tile_w=64)
@@ -92,40 +91,7 @@ def main() -> int:
         def alive_beams(s):
             return backend.counts(s.st)[1]
 
-        def checkpoint(s):
-            return (
-                (jnp.copy(s.st[0]), jnp.copy(s.st[1])),
-                backend._far_list, backend._far_active, backend.far_pairs,
-            )
-
-        def restore(ck):
-            st, backend._far_list, backend._far_active, backend.far_pairs \
-                = ck
-            return _Packed((jnp.copy(st[0]), jnp.copy(st[1])))
-
-        def rehearse(s, frames):
-            """Run the timed window once from a checkpoint so every
-            (far/near, n_sub, observe) frame-chunk variant the window
-            needs is compiled, then restore.  Physics is deterministic,
-            so the re-run hits only compiled code."""
-            ck = checkpoint(s)
-            for i in range(frames):
-                s = step(s)
-            jax.block_until_ready(s.pos)
-            log(f"  rehearsal: chunks={backend.far_chunks} "
-                f"rebuilds={backend.far_rebuilds} pairs={backend.far_pairs} "
-                f"overflow={backend.far_overflow}")
-            return restore(ck)
-
-        def far_summary():
-            return {
-                "far_rebuilds": backend.far_rebuilds,
-                "far_pairs": backend.far_pairs,
-                "far_overflow": backend.far_overflow,
-                "far_chunks": backend.far_chunks,
-            }
-
-        far_stats = far_summary
+        far_stats = backend.far_stats
     elif path == "fused_v1" and scene_name == "tearing_cloth":
         # round-1 kernel kept for comparison (BENCH_PATH=fused_v1)
         from softbody_tpu.models import tearing_cloth_lattice
@@ -212,13 +178,6 @@ def main() -> int:
     for _ in range(warm):
         state = step(state)
     _ = sync(state)
-    # rehearse the timed window once (compiles every frame-chunk variant
-    # the window will hit), then restore the checkpoint
-    if rehearse is not None:
-        t0 = time.time()
-        state = rehearse(state, frames)
-        _ = sync(state)
-        log(f"rehearsal done in {time.time() - t0:.1f}s")
 
     t0 = time.time()
     for _ in range(frames):

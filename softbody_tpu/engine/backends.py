@@ -102,6 +102,15 @@ def _corrupt_array(arr, rng: np.random.Generator):
     return jnp.asarray(host)
 
 
+@jax.jit
+def _stats_merge(a, b):
+    """Accumulate per-frame far stats [rebuilds, max pairs, max overflow]
+    lazily on device (no sync in the frame loop)."""
+    return jnp.stack(
+        [a[0] + b[0], jnp.maximum(a[1], b[1]), jnp.maximum(a[2], b[2])]
+    )
+
+
 class LatticeBackend:
     """Dense stencil engine backend.
 
@@ -236,6 +245,11 @@ class LatticeBackend:
             remaining -= j
         return state
 
+    def far_stats(self) -> dict:
+        return {"far_rebuilds": self.far_rebuilds,
+                "far_pairs": self.far_pairs,
+                "far_overflow": self.far_overflow}
+
 
     def extract(self, state):
         from ..ops.stencil import EDGE_OFFSETS
@@ -345,6 +359,7 @@ class FusedLatticeBackend(LatticeBackend):
         self._immut = None
         self._edge_consts = None
         self._template = None
+        self._stats_acc = None   # device int32[3]: rebuilds/pairs/overflow
 
     def pack_state(self, lstate):
         """LatticeState → packed (hot, obs); captures immut/edge consts
@@ -362,28 +377,6 @@ class FusedLatticeBackend(LatticeBackend):
 
         hot, obs = state
         return unpack_lattice2(hot, obs, self._template)
-
-    def _motion(self, state):
-        from ..ops.pallas.fused_substep2 import (
-            ALIVE, VX, VY, packed_far_motion2,
-        )
-        from ..ops.farfield import max_relative_speed
-
-        hot, _ = state
-        if self._far_list is None:
-            vel = jnp.stack([hot[VX], hot[VY]], axis=-1)
-            vrel = max_relative_speed(vel, self._immut[ALIVE] > 0.0)
-            return float("inf"), float(jax.device_get(vrel))
-        disp, vrel = packed_far_motion2(hot, self._immut, self._far_list)
-        d, v = jax.device_get((disp, vrel))
-        return float(d), float(v)
-
-    def _pos_alive(self, state):
-        from ..ops.pallas.fused_substep2 import ALIVE, PX, PY
-
-        hot, _ = state
-        pos = jnp.stack([hot[PX], hot[PY]], axis=-1)
-        return pos, self._immut[ALIVE] > 0.0
 
     def _frame_chunk(self, state, consts, uin, n_sub, observe):
         from ..ops.pallas.fused_substep2 import fused_frame2, fused_frame2_far
@@ -403,10 +396,38 @@ class FusedLatticeBackend(LatticeBackend):
                             n_sub=n_sub, observe=observe)
 
     def step(self, state, consts, uin):
+        """One frame.  With far-field armed, the far machinery rides the
+        substep scan on device (fused_frame2_auto): list carried between
+        frames on the backend, rebuild/apply decisions via lax.cond,
+        zero host syncs.  Stats accumulate device-side (``far_stats``)."""
         if self.ff is None or self.cfg.collision_mode == "none":
             return self._frame_chunk(state, consts, uin, n_sub=None,
                                      observe=True)
-        return super().step(state, consts, uin)
+        from ..ops.farfield import empty_far_list
+        from ..ops.pallas.fused_substep2 import fused_frame2_auto
+
+        interp = jax.default_backend() != "tpu"
+        hot, obs = state
+        if self._far_list is None:
+            pw, ph = hot.shape[1], hot.shape[2]
+            self._far_list = empty_far_list(pw, ph, self.ff)
+        hot, obs, self._far_list, st = fused_frame2_auto(
+            hot, obs, self._immut, self._edge_consts, self._far_list,
+            consts, uin, self.spec, self.cfg, self.ff,
+            tile_w=self.tile_w, interpret=interp,
+        )
+        if self._stats_acc is None:
+            self._stats_acc = st
+        else:
+            self._stats_acc = _stats_merge(self._stats_acc, st)
+        return hot, obs
+
+    def far_stats(self) -> dict:
+        if self._stats_acc is None:
+            return super().far_stats()
+        reb, pairs, over = (int(x) for x in np.asarray(self._stats_acc))
+        return {"far_rebuilds": reb, "far_pairs": pairs,
+                "far_overflow": over}
 
     def extract(self, state):
         return super().extract(self.unpack_state(state))

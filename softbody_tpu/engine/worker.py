@@ -266,6 +266,10 @@ class EngineWorker:
     def _stats(self) -> EngineStats:
         fps = self.fps
         n, m = self.backend.counts(self._state)
+        if hasattr(self.backend, "far_stats"):
+            far = self.backend.far_stats()
+        else:
+            far = {"far_pairs": 0, "far_rebuilds": 0, "far_overflow": 0}
         return EngineStats(
             fps=fps,
             substeps_per_sec=fps * self.cfg.subticks,
@@ -273,9 +277,7 @@ class EngineWorker:
             frame_index=self._frame_index,
             particle_count=n,
             beam_count=m,
-            far_pairs=getattr(self.backend, "far_pairs", 0),
-            far_rebuilds=getattr(self.backend, "far_rebuilds", 0),
-            far_overflow=getattr(self.backend, "far_overflow", 0),
+            **far,
         )
 
     @property

@@ -118,27 +118,39 @@ class FarFieldSpec:
         )
 
     def annulus_half_offsets(self) -> Tuple[Tuple[int, int], ...]:
-        """Chunk-offset half-plane annulus: chebyshev in [2, 2*tile_chunks-1]."""
+        """Chunk-offset half-plane annulus: chebyshev in [2, 2*tile_chunks-1].
+
+        Strict half-plane (``dx > 0`` or ``dx == 0, dy > 0``): a vertical
+        pair (A, A+(0,3)) must be emitted only at A — emitting its mirror
+        (0,−3) at the partner too would duplicate the pair after
+        canonicalization and double its collision impulse."""
         r = 2 * self.tile_chunks - 1
         return tuple(
             (dx, dy)
             for dx in range(0, r + 1)
             for dy in range(-r, r + 1)
             if max(abs(dx), abs(dy)) >= 2
+            and (dx > 0 or dy > 0)
         )
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class FarList:
-    """Candidate chunk-pair list (fixed capacity, valid-prefix packed)."""
+    """Candidate chunk-pair list (fixed capacity, valid-prefix packed).
+
+    Reference positions are stored as separate x/y planes (not an
+    interleaved ``[W, H, 2]``) so the displacement trigger — which runs
+    every substep inside the on-device frame — reads the engine's packed
+    plane layout with zero relayout."""
 
     ca: jax.Array        # [K] int32 linear chunk id (cx * cwy + cy)
     cb: jax.Array        # [K] int32; ca <= cb
     valid: jax.Array     # [K] bool
     n_pairs: jax.Array   # [] int32 — number of valid pairs
     overflow: jax.Array  # [] int32 — candidates dropped at any capacity
-    pos_ref: jax.Array   # [W, H, 2] positions at rebuild (trigger baseline)
+    px_ref: jax.Array    # [W, H] x positions at rebuild (trigger baseline)
+    py_ref: jax.Array    # [W, H] y positions at rebuild
     com_ref: jax.Array   # [2] alive-mean position at rebuild
 
     @property
@@ -188,30 +200,35 @@ def unchunk_view(x: jax.Array, wp: int, hp: int, ff: FarFieldSpec) -> jax.Array:
 # rebuild
 
 
-def _detection(pos, alive, *, s: int, ff: FarFieldSpec, radius: float):
+def _detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec, radius: float):
     """Dense candidate detection: returns the three source masks plus the
-    tile-refinement tables (everything before compaction)."""
-    w, h = pos.shape[0], pos.shape[1]
+    tile-refinement tables (everything before compaction).  Inputs are
+    unpadded x/y planes ``[W, H]`` plus the alive mask."""
+    w, h = pxu.shape[0], pxu.shape[1]
     cwx, cwy, wp, hp = _chunk_dims(w, h, ff)
     c = ff.chunk
     tc = ff.tile_chunks
     reach = 2.0 * radius + ff.skin          # detection distance
     m = jnp.float32(radius + 0.5 * ff.skin)  # per-AABB expansion
 
-    px = _pad_plane(pos[..., 0], wp, hp, 0.0)
-    py = _pad_plane(pos[..., 1], wp, hp, 0.0)
+    px = _pad_plane(pxu, wp, hp, 0.0)
+    py = _pad_plane(pyu, wp, hp, 0.0)
     alv = _pad_plane(alive, wp, hp, False)
 
     # ---- chunk AABBs (masked reductions; empty chunks never overlap) ----
+    # two-step: sublane-group reduce first ([cwx·c, hp] → [cwx, hp]), then
+    # lane-group ([cwx, cwy·c] → [cwx, cwy]) — avoids the 4-D
+    # reshape+double-axis reduce, whose TPU lowering relayouts the plane
     def creduce(plane, op, fill):
         v = jnp.where(alv, plane, fill)
-        return op(v.reshape(cwx, c, cwy, c), axis=(1, 3))
+        v = op(v.reshape(cwx, c, hp), axis=1)
+        return op(v.reshape(cwx, cwy, c), axis=2)
 
     cminx = creduce(px, jnp.min, _BIG)
     cmaxx = creduce(px, jnp.max, -_BIG)
     cminy = creduce(py, jnp.min, _BIG)
     cmaxy = creduce(py, jnp.max, -_BIG)
-    cany = jnp.any(alv.reshape(cwx, c, cwy, c), axis=(1, 3))
+    cany = creduce(alv.astype(jnp.float32), jnp.max, 0.0) > 0.0
 
     # ---- source 1: particle band (same / adjacent chunk pairs) ----------
     # pad ONCE to the band's full reach and slice per offset — a per-offset
@@ -261,6 +278,10 @@ def _detection(pos, alive, *, s: int, ff: FarFieldSpec, radius: float):
     band_stack = jnp.stack(band_masks)  # [5, cwx, cwy]
 
     # ---- source 2: chunk annulus (chebyshev in [2, 2*tc-1]) -------------
+    # accumulated any-mask + count only: materializing the full
+    # [~480, cwx, cwy] offset stack (40 MB at 1M) and compacting it was
+    # the dominant rebuild cost; the per-offset hit bits are recomputed
+    # later on a [K, window] strip of just the hit chunks.
     ann_offsets = ff.annulus_half_offsets()
 
     def aabb_overlap_shift(dx, dy):
@@ -272,7 +293,22 @@ def _detection(pos, alive, *, s: int, ff: FarFieldSpec, radius: float):
             & (csh(cminy_b, dx, dy) - m <= cmaxy + m)
         )
 
-    ann_stack = jnp.stack([aabb_overlap_shift(dx, dy) for dx, dy in ann_offsets])
+    # per-chunk offset BITMASK: word w bit b records whether annulus
+    # offset 32w+b hit — compaction later just row-gathers these words
+    # for the hit chunks and expands bits, instead of re-running (or
+    # having stored) the per-offset tests
+    n_words = -(-len(ann_offsets) // 32)
+    ann_any = jnp.zeros((cwx, cwy), bool)
+    ann_count = jnp.zeros((cwx, cwy), jnp.int32)
+    ann_words = [jnp.zeros((cwx, cwy), jnp.uint32) for _ in range(n_words)]
+    for i, (dx, dy) in enumerate(ann_offsets):
+        hit_o = aabb_overlap_shift(dx, dy)
+        ann_any = ann_any | hit_o
+        ann_count = ann_count + hit_o.astype(jnp.int32)
+        ann_words[i // 32] = ann_words[i // 32] | (
+            hit_o.astype(jnp.uint32) << jnp.uint32(i % 32)
+        )
+    ann_words = jnp.stack(ann_words)  # [n_words, cwx, cwy]
 
     # ---- source 3: far tile pairs + chunk refinement ---------------------
     tx, ty = cwx // tc, cwy // tc
@@ -355,11 +391,13 @@ def _detection(pos, alive, *, s: int, ff: FarFieldSpec, radius: float):
     )
     ref_ov = ref_ov & (ccheb >= 2 * tc)
 
-    amask = alive[..., None]
     n_alive = jnp.maximum(jnp.sum(alive.astype(jnp.float32)), 1.0)
-    com = jnp.sum(jnp.where(amask, pos, 0.0), axis=(0, 1)) / n_alive
-    return (band_stack, ann_stack, ref_ov, ca_ids, cb_ids, tile_overflow,
-            adj_offsets, ann_offsets, cwy, com)
+    com = jnp.stack([
+        jnp.sum(jnp.where(alive, pxu, 0.0)) / n_alive,
+        jnp.sum(jnp.where(alive, pyu, 0.0)) / n_alive,
+    ])
+    return (band_stack, ann_any, ann_count, ann_words, ref_ov, ca_ids,
+            cb_ids, tile_overflow, adj_offsets, ann_offsets, cwy, com)
 
 
 @functools.partial(jax.jit, static_argnames=("s", "ff", "radius"))
@@ -368,71 +406,95 @@ def far_candidate_count(pos, alive, *, s: int, ff: FarFieldSpec,
     """Cheap detection-only pass: (total candidate pairs incl. dropped
     tile pairs, COM) — lets the engine skip the compaction machinery
     entirely on the common no-fold frame."""
-    (band_stack, ann_stack, ref_ov, _ca, _cb, tile_overflow,
-     _adj, _ann, _cwy, com) = _detection(pos, alive, s=s, ff=ff,
-                                         radius=radius)
+    (band_stack, _ann_any, ann_count, _ann_words, ref_ov, _ca, _cb,
+     tile_overflow, _adj, _ann, _cwy, com) = _detection(
+         pos[..., 0], pos[..., 1], alive, s=s, ff=ff, radius=radius)
     total = (
         jnp.sum(band_stack.astype(jnp.int32))
-        + jnp.sum(ann_stack.astype(jnp.int32))
+        + jnp.sum(ann_count)
         + jnp.sum(ref_ov.astype(jnp.int32))
         + tile_overflow
     )
     return total, com
 
 
-@functools.partial(jax.jit, static_argnames=("s", "ff", "radius"))
-def rebuild_far_list(
-    pos: jax.Array,
+def rebuild_far_list_planes(
+    px: jax.Array,
+    py: jax.Array,
     alive: jax.Array,
     *,
     s: int,
     ff: FarFieldSpec,
     radius: float,
 ) -> FarList:
-    """Build the candidate chunk-pair list from current positions.
+    """Build the candidate chunk-pair list from current positions (plane
+    inputs; traceable — used both standalone and inside the on-device
+    frame's ``lax.cond`` rebuild branch).
 
     All work is dense (reductions, shifted compares, one [T, T] tile
     test) plus three fixed-capacity sort-based compactions (``_nz``).
     """
-    (band_stack, ann_stack, ref_ov, ca_ids, cb_ids, tile_overflow,
-     adj_offsets, ann_offsets, cwy, com) = _detection(
-         pos, alive, s=s, ff=ff, radius=radius)
+    (band_stack, ann_any, ann_count, ann_words, ref_ov, ca_ids, cb_ids,
+     tile_overflow, adj_offsets, ann_offsets, cwy, com) = _detection(
+         px, py, alive, s=s, ff=ff, radius=radius)
 
     # ---- compact the three sources --------------------------------------
-    # Never compact a full stencil stack in one go: reduce over the
-    # offset axis first, take the (few) hit chunks, gather only their
-    # offset rows, and compact that [k2, n_off] strip.  All index
-    # extraction goes through the sort-based ``_nz`` (bincount-free).
+    # Hit chunks first (every flagged chunk holds ≥1 pair, so K rows
+    # suffice for K pairs), then that strip's (chunk, offset) bits.  All
+    # index extraction is the sort-based ``_nz``; all gathers are ROW
+    # gathers or windowed gathers — a column gather on the minor (lane)
+    # dim lowers near-serially on TPU (measured: the former
+    # ``stack[:, h_idx]`` dominated the 80 ms rebuild).
     k2 = ff.max_pairs
 
-    def compact_offset_stack(stack, offs_arr):
-        """[n_off, cwx, cwy] bool → (ca, cb, valid, n, overflow)."""
-        n_off, cwx_, cwy_ = stack.shape
-        any_hit = jnp.any(stack, axis=0)
-        n_chunks = jnp.sum(any_hit.astype(jnp.int32))
-        h_idx = _nz(any_hit, k2)          # linear chunk ids, ascending
-        hx_ = h_idx // cwy_
-        hy_ = h_idx % cwy_
-        chunk_ok = jnp.arange(k2) < jnp.minimum(n_chunks, k2)
-        rows = (
-            stack.reshape(n_off, cwx_ * cwy_)[:, h_idx].T
-            & chunk_ok[:, None]
-        )  # [k2, n_off]
-        total = jnp.sum(stack.astype(jnp.int32))
+    def strip_extract(rows, h_idx, offs_arr, total):
+        """rows [k2, n_off] bool (already masked) → (ca, cb, valid, n,
+        overflow).  Entry (r, o): pair (h_idx[r], h_idx[r] + offset o)."""
+        n_off = rows.shape[1]
         e_flat = _nz(rows, k2)
         e_r = e_flat // n_off
         e_o = e_flat % n_off
         n = jnp.minimum(jnp.sum(rows.astype(jnp.int32)), k2)
-        ca = hx_[e_r] * cwy + hy_[e_r]
-        cb = (hx_[e_r] + offs_arr[e_o, 0]) * cwy + (hy_[e_r] + offs_arr[e_o, 1])
+        hx_ = h_idx[e_r] // cwy
+        hy_ = h_idx[e_r] % cwy
+        ca = hx_ * cwy + hy_
+        cb = (hx_ + offs_arr[e_o, 0]) * cwy + (hy_ + offs_arr[e_o, 1])
         valid = jnp.arange(k2) < n
         return ca, cb, valid, n, total - n
 
-    band_ca, band_cb, band_valid, b_n, b_over = compact_offset_stack(
-        band_stack, jnp.asarray(adj_offsets, jnp.int32)
+    # band: [5, cwx, cwy] — tiny; five flat row gathers make the strip
+    band_any = jnp.any(band_stack, axis=0)
+    b_nchunks = jnp.sum(band_any.astype(jnp.int32))
+    b_idx = _nz(band_any, k2)
+    b_ok = jnp.arange(k2) < jnp.minimum(b_nchunks, k2)
+    b_rows = jnp.stack(
+        [band_stack[i].reshape(-1)[b_idx] for i in range(band_stack.shape[0])],
+        axis=1,
+    ) & b_ok[:, None]
+    band_ca, band_cb, band_valid, b_n, b_over = strip_extract(
+        b_rows, b_idx, jnp.asarray(adj_offsets, jnp.int32),
+        jnp.sum(band_stack.astype(jnp.int32)),
     )
-    ann_ca, ann_cb, ann_valid, a_n, a_over = compact_offset_stack(
-        ann_stack, jnp.asarray(ann_offsets, jnp.int32)
+
+    # annulus: the strip is read straight out of detection's per-chunk
+    # offset bitmask — n_words row-gathers + a vectorized bit expansion,
+    # no window gather, no re-testing
+    n_off_a = len(ann_offsets)
+    n_words = ann_words.shape[0]
+    a_nchunks = jnp.sum(ann_any.astype(jnp.int32))
+    a_idx = _nz(ann_any, k2)
+    a_ok = jnp.arange(k2) < jnp.minimum(a_nchunks, k2)
+    words = jnp.stack(
+        [ann_words[i].reshape(-1)[a_idx] for i in range(n_words)], axis=1
+    )  # [k2, n_words]
+    bits = (
+        (words[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)[None, None, :])
+        & jnp.uint32(1)
+    ).reshape(k2, n_words * 32)[:, :n_off_a]
+    a_rows = (bits > 0) & a_ok[:, None]  # [k2, n_off_a]
+    ann_ca, ann_cb, ann_valid, a_n, a_over = strip_extract(
+        a_rows, a_idx, jnp.asarray(ann_offsets, jnp.int32),
+        jnp.sum(ann_count),
     )
 
     # far: entry (pair, i, j) → (ca_ids[pair, i], cb_ids[pair, j]);
@@ -479,8 +541,25 @@ def rebuild_far_list(
         valid=valid & (jnp.arange(k2) < n_pairs),
         n_pairs=n_pairs.astype(jnp.int32),
         overflow=overflow.astype(jnp.int32),
-        pos_ref=pos,
+        px_ref=px,
+        py_ref=py,
         com_ref=com,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("s", "ff", "radius"))
+def rebuild_far_list(
+    pos: jax.Array,
+    alive: jax.Array,
+    *,
+    s: int,
+    ff: FarFieldSpec,
+    radius: float,
+) -> FarList:
+    """:func:`rebuild_far_list_planes` on an interleaved ``[W, H, 2]``
+    position array (engine/test convenience)."""
+    return rebuild_far_list_planes(
+        pos[..., 0], pos[..., 1], alive, s=s, ff=ff, radius=radius
     )
 
 
@@ -493,6 +572,25 @@ def crop_far_list(fl: FarList, k: int) -> FarList:
     )
 
 
+def motion_planes(px, py, vx, vy, alive, fl: FarList):
+    """(max COM-relative displacement since rebuild, max COM-relative
+    speed) from x/y planes — the on-device frame's per-substep rebuild
+    trigger inputs (list valid while displacement stays ≤ skin/2)."""
+    n_alive = jnp.maximum(jnp.sum(alive.astype(jnp.float32)), 1.0)
+
+    def mean(p):
+        return jnp.sum(jnp.where(alive, p, 0.0)) / n_alive
+
+    comx, comy = mean(px), mean(py)
+    ddx = (px - fl.px_ref) - (comx - fl.com_ref[0])
+    ddy = (py - fl.py_ref) - (comy - fl.com_ref[1])
+    d2 = jnp.where(alive, ddx * ddx + ddy * ddy, 0.0)
+    dvx = vx - mean(vx)
+    dvy = vy - mean(vy)
+    v2 = jnp.where(alive, dvx * dvx + dvy * dvy, 0.0)
+    return jnp.sqrt(jnp.max(d2)), jnp.sqrt(jnp.max(v2))
+
+
 @jax.jit
 def displacement_check(pos, alive, fl: FarList):
     """Max COM-relative displacement since rebuild — the engine's rebuild
@@ -500,8 +598,9 @@ def displacement_check(pos, alive, fl: FarList):
     amask = alive[..., None]
     n_alive = jnp.maximum(jnp.sum(alive.astype(jnp.float32)), 1.0)
     com = jnp.sum(jnp.where(amask, pos, 0.0), axis=(0, 1)) / n_alive
-    d = (pos - fl.pos_ref) - (com - fl.com_ref)
-    d2 = jnp.where(alive, d[..., 0] ** 2 + d[..., 1] ** 2, 0.0)
+    ddx = (pos[..., 0] - fl.px_ref) - (com[0] - fl.com_ref[0])
+    ddy = (pos[..., 1] - fl.py_ref) - (com[1] - fl.com_ref[1])
+    d2 = jnp.where(alive, ddx * ddx + ddy * ddy, 0.0)
     return jnp.sqrt(jnp.max(d2))
 
 
@@ -671,13 +770,16 @@ def empty_far_list_at(pos, com, ff: FarFieldSpec) -> FarList:
         valid=jnp.zeros((k,), bool),
         n_pairs=jnp.int32(0),
         overflow=jnp.int32(0),
-        pos_ref=pos,
+        px_ref=pos[..., 0],
+        py_ref=pos[..., 1],
         com_ref=com,
     )
 
 
 def empty_far_list(w: int, h: int, ff: FarFieldSpec) -> FarList:
-    """An all-invalid list of the spec's capacity (useful for tests)."""
+    """An all-invalid list of the spec's capacity, anchored far outside
+    the world so the first displacement check always triggers a rebuild
+    (self-initialization for the on-device frame)."""
     k = ff.max_pairs
     return FarList(
         ca=jnp.zeros((k,), jnp.int32),
@@ -685,6 +787,7 @@ def empty_far_list(w: int, h: int, ff: FarFieldSpec) -> FarList:
         valid=jnp.zeros((k,), bool),
         n_pairs=jnp.int32(0),
         overflow=jnp.int32(0),
-        pos_ref=jnp.zeros((w, h, 2), jnp.float32),
+        px_ref=jnp.full((w, h), -1.0e9, jnp.float32),
+        py_ref=jnp.full((w, h), -1.0e9, jnp.float32),
         com_ref=jnp.zeros((2,), jnp.float32),
     )

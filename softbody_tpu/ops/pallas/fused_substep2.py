@@ -561,6 +561,27 @@ def unpack_lattice2(hot, obs, template):
     )
 
 
+def _zero_pads(stack, spec, tile_w: int):
+    """Zero every cell outside the real lattice interior.
+
+    The kernel writes only interior slab windows; pad cells rely on the
+    output buffer inheriting the donated input's (zeroed) pads.  Inside
+    ``lax.cond`` branches XLA may allocate fresh output buffers, so pads
+    can surface uninitialized HBM (inf/nan).  Physics never reads an
+    unmasked pad (everything is alive-masked), but external readers of
+    the packed planes (finite checks, debug dumps) see the garbage — one
+    cheap masked pass per frame restores the invariant."""
+    wr, hr = padded_dims(spec.width, spec.height, tile_w)
+    wp, hp = stack.shape[-2], stack.shape[-1]
+    ix = jnp.arange(wp)[:, None]
+    iy = jnp.arange(hp)[None, :]
+    interior = (
+        (ix >= PAD_W) & (ix < PAD_W + spec.width)
+        & (iy >= PAD_H) & (iy < PAD_H + spec.height)
+    )
+    return jnp.where(interior[None], stack, 0.0)
+
+
 def fused_substep2_call(hot, immut, consts_vec, *, w: int, h: int,
                         stencil: int, quantized: bool, tile_w: int = 128,
                         interpret: bool = False, far=None, obs_in=None):
@@ -707,13 +728,124 @@ def fused_frame2_far(hot, obs, immut, edge_consts, fl,
                                obs_in=obs, **kw)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "cfg", "ffspec", "tile_w", "interpret",
+                     "n_sub", "observe"),
+    donate_argnames=("hot", "obs", "fl"),
+)
+def fused_frame2_auto(hot, obs, immut, edge_consts, fl,
+                      consts: PhysicsConstants, uin: UserInput, spec,
+                      cfg: StaticConfig, ffspec, tile_w: int = 128,
+                      interpret: bool = False,
+                      n_sub: Optional[int] = None, observe: bool = True):
+    """Far-field-autonomous frame: the :class:`FarList` rides the substep
+    scan as part of the carry, entirely on device — no host round-trips.
+
+    Per substep, BEFORE stepping:
+
+    1. the Verlet displacement trigger runs on the carry planes
+       (``motion_planes``): if the max COM-relative displacement since
+       rebuild plus twice this substep's projected motion could exceed
+       the ``skin/2`` budget, a ``lax.cond`` branch rebuilds the list
+       from current positions (factor 2 covers in-substep speed growth);
+    2. a second ``lax.cond`` picks the far-field kernel variant only when
+       the list is non-empty — the common no-fold substep pays just the
+       trigger reductions on top of the hot kernel.
+
+    This replaces the host-driven chunking loop (engine/backends.py
+    history): host-side rebuild decisions cost a device sync plus Python
+    dispatch per chunk, which degenerated to ~100 ms/substep mid-impact
+    when the validity horizon dropped to a couple of substeps.
+
+    Returns ``(hot', obs', fl', stats)`` with ``stats = int32[3]``
+    (rebuilds this frame, max n_pairs seen, max overflow seen).
+    """
+    from ..farfield import (
+        far_collision_terms,
+        motion_planes,
+        rebuild_far_list_planes,
+    )
+
+    w, h = padded_dims(spec.width, spec.height, tile_w)
+    ht = h + 2 * PAD_H
+    cvec = jnp.concatenate(
+        [_consts_vector(consts, uin, cfg, spec.height), edge_consts]
+    )
+    quantized = cfg.force_mode == "quantized"
+    stencil = 0 if cfg.collision_mode == "none" else spec.collision_stencil
+    alive_plane = immut[ALIVE] > 0.0
+    kw = dict(w=w, h=h, stencil=stencil, quantized=quantized,
+              tile_w=tile_w, interpret=interpret)
+    n = cfg.subticks if n_sub is None else n_sub
+    budget = jnp.float32(0.5 * ffspec.skin)
+    dt = jnp.float32(cfg.dt)
+
+    def far_of(m, fl_):
+        deltas = far_collision_terms(
+            m[PX], m[PY], m[VX], m[VY], alive_plane, fl_,
+            s=spec.collision_stencil, ff=ffspec,
+            radius=cfg.particle_radius, dt=cfg.dt,
+            ecoeff=(consts.elasticity + 1.0) * 0.5,
+            friction=consts.friction, world_h=ht,
+        )
+        return jnp.stack(deltas)
+
+    def substep(m, fl_, st, obs_in=None):
+        disp, vrel = motion_planes(
+            m[PX], m[PY], m[VX], m[VY], alive_plane, fl_
+        )
+        need = disp + 2.0 * vrel * dt > budget
+        fl_ = jax.lax.cond(
+            need,
+            lambda mm, old: rebuild_far_list_planes(
+                mm[PX], mm[PY], alive_plane,
+                s=spec.collision_stencil, ff=ffspec,
+                radius=cfg.particle_radius,
+            ),
+            lambda mm, old: old,
+            m, fl_,
+        )
+        st = jnp.stack([
+            st[0] + need.astype(jnp.int32),
+            jnp.maximum(st[1], fl_.n_pairs),
+            jnp.maximum(st[2], fl_.overflow),
+        ])
+        out = jax.lax.cond(
+            fl_.n_pairs > 0,
+            lambda mm: fused_substep2_call(
+                mm, immut, cvec, far=far_of(mm, fl_), obs_in=obs_in, **kw
+            ),
+            lambda mm: fused_substep2_call(
+                mm, immut, cvec, obs_in=obs_in, **kw
+            ),
+            m,
+        )
+        return out, fl_, st
+
+    st0 = jnp.zeros((3,), jnp.int32)
+
+    def body(carry, _):
+        m, fl_, st = carry
+        m, fl_, st = substep(m, fl_, st)
+        return (m, fl_, st), None
+
+    if not observe:
+        (hot, fl, st), _ = jax.lax.scan(body, (hot, fl, st0), None, length=n)
+        return _zero_pads(hot, spec, tile_w), obs, fl, st
+    (hot, fl, st), _ = jax.lax.scan(body, (hot, fl, st0), None, length=n - 1)
+    (hot, obs), fl, st = substep(hot, fl, st, obs_in=obs)
+    return (_zero_pads(hot, spec, tile_w), _zero_pads(obs, spec, tile_w),
+            fl, st)
+
+
 def rebuild_far_list_packed2(hot, immut, *, s: int, ff, radius: float):
     """Far-list rebuild from the v2 packed stacks (padded coordinates)."""
-    from ..farfield import rebuild_far_list
+    from ..farfield import rebuild_far_list_planes
 
-    pos = jnp.stack([hot[PX], hot[PY]], axis=-1)
     alive = immut[ALIVE] > 0.0
-    return rebuild_far_list(pos, alive, s=s, ff=ff, radius=radius)
+    return rebuild_far_list_planes(hot[PX], hot[PY], alive, s=s, ff=ff,
+                                   radius=radius)
 
 
 @jax.jit

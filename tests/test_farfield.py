@@ -117,6 +117,59 @@ def _run_far(ls, spec, steps, consts, uin):
     return ls
 
 
+def vertical_hairpin(w=4, h=96, gap=6.0):
+    """hairpin folded along the OTHER axis: rows j and h-1-j overlap, so
+    candidate chunk pairs have offset (0, dy) — the annulus half-plane's
+    dx == 0 edge.  Guards against double-emission of vertical pairs
+    (each duplicate doubles the collision impulse)."""
+    ls = make_lattice(w, h, SPACING, spring=0.0, damp=0.0,
+                      yield_strain=10.0, strain_limit=100.0)
+    half = h // 2
+    pos = np.zeros((w, h, 2), np.float32)
+    for j in range(h):
+        x_col = 300.0 if j < half else 300.0 + gap
+        yj = j if j < half else (h - 1 - j)
+        yoff = 0.0 if j < half else SPACING * 0.5
+        pos[:, j, 1] = 100.0 + yj * SPACING + yoff
+        pos[:, j, 0] = x_col
+        # columns separated widely so only the fold contact matters
+    for i in range(w):
+        pos[i, :, 0] += i * SPACING * 3.0
+    vel = np.zeros((w, h, 2), np.float32)
+    vel[:, :half, 0] = 1.5
+    vel[:, half:, 0] = -1.5
+    return dataclasses.replace(
+        ls, pos=jnp.asarray(pos), vel=jnp.asarray(vel)
+    )
+
+
+def test_vertical_fold_no_duplicate_pairs():
+    """Every candidate chunk pair must appear exactly once — a duplicated
+    (0, dy) annulus pair would double its impulse."""
+    ls = vertical_hairpin()
+    fl = rebuild_far_list(ls.pos, ls.alive, s=2, ff=FF, radius=RADIUS)
+    n = int(fl.n_pairs)
+    assert n > 0
+    pairs = np.stack([np.asarray(fl.ca)[:n], np.asarray(fl.cb)[:n]], axis=1)
+    uniq = np.unique(pairs, axis=0)
+    assert uniq.shape[0] == n, "duplicate candidate chunk pairs emitted"
+
+
+def test_vertical_fold_matches_oracle():
+    ls = vertical_hairpin()
+    w, h = ls.shape
+    spec = LatticeSpec(w, h, collision_stencil=2)
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+    os = to_oracle(ls)
+    for _ in range(6):
+        os = oracle.substep(os, dt=CFG.dt, radius=RADIUS, quantized=True)
+    ls_out = _run_far(ls, spec, 6, consts, uin)
+    p = np.asarray(ls_out.pos).reshape(w * h, 2)
+    v = np.asarray(ls_out.vel).reshape(w * h, 2)
+    np.testing.assert_allclose(p, os["pos"], rtol=0, atol=2e-3)
+    np.testing.assert_allclose(v, os["vel"], rtol=0, atol=2e-2)
+
+
 @pytest.mark.parametrize("spring", [0.0, 5.0])
 def test_fold_matches_oracle(spring):
     # spring=5 keeps ω·dt small: stiffer springs at dt=1/8 amplify the
@@ -258,6 +311,78 @@ def test_fused_far_matches_xla_far():
     np.testing.assert_allclose(
         np.asarray(got.vel), np.asarray(ref.vel), rtol=0, atol=1e-3
     )
+
+
+def test_auto_frame_matches_per_substep_rebuild():
+    """fused_frame2_auto (on-device FarList carry + lax.cond rebuild) ==
+    the XLA far path with a fresh list every substep.  Any pair actually
+    within contact range is in BOTH lists while the displacement budget
+    holds (extra candidates contribute exactly zero), so the rebuild
+    cadence must not change the trajectory."""
+    from softbody_tpu.engine.backends import FusedLatticeBackend
+
+    ls = hairpin()
+    w, h = ls.shape
+    spec = LatticeSpec(w, h, collision_stencil=2)
+    cfg = StaticConfig(subticks=4, collision_mode="allpairs",
+                       particle_radius=RADIUS, force_mode="quantized")
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+    ff = dataclasses.replace(FF, skin=8.0)
+
+    backend = FusedLatticeBackend(spec, cfg, farfield=ff, tile_w=8)
+    st = backend.pack_state(ls)
+    for _ in range(2):
+        st = backend.step(st, consts, uin)
+    got = backend.unpack_state(st)
+    stats = backend.far_stats()
+    assert stats["far_rebuilds"] >= 1
+    assert stats["far_pairs"] > 0
+    assert stats["far_overflow"] == 0
+
+    ref = ls
+    for _ in range(2 * cfg.subticks):
+        fl = rebuild_far_list(ref.pos, ref.alive, s=2, ff=ff, radius=RADIUS)
+        ref = lattice_substep_jit(ref, consts, uin, spec, cfg,
+                                  far=fl, ffspec=ff)
+    np.testing.assert_allclose(
+        np.asarray(got.pos), np.asarray(ref.pos), rtol=0, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.vel), np.asarray(ref.vel), rtol=0, atol=1e-3
+    )
+
+
+def test_auto_frame_flat_lattice_stays_empty():
+    """Unfolded cloth through the auto frame: exactly one rebuild (the
+    self-initializing first substep), empty list, near-only physics —
+    the 1M bench's fast-path invariant, now on device."""
+    from softbody_tpu.engine.backends import FusedLatticeBackend
+    from softbody_tpu.ops.pallas.fused_substep2 import (
+        fused_frame2, pack_lattice2,
+    )
+
+    ls = make_lattice(24, 24, SPACING)
+    w, h = ls.shape
+    spec = LatticeSpec(w, h, collision_stencil=2)
+    cfg = StaticConfig(subticks=4, collision_mode="allpairs",
+                       particle_radius=RADIUS, force_mode="quantized")
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+    ff = dataclasses.replace(FF, skin=8.0)
+
+    backend = FusedLatticeBackend(spec, cfg, farfield=ff, tile_w=8)
+    st = backend.pack_state(ls)
+    st = backend.step(st, consts, uin)
+    got = backend.unpack_state(st)
+    stats = backend.far_stats()
+    assert stats["far_pairs"] == 0
+    assert stats["far_overflow"] == 0
+
+    hot, obs, immut, ec = pack_lattice2(ls, tile_w=8)
+    hot, obs = fused_frame2(hot, obs, immut, ec, consts, uin, spec, cfg,
+                            tile_w=8, interpret=True)
+    ref = backend.unpack_state((hot, obs))
+    np.testing.assert_array_equal(np.asarray(got.pos), np.asarray(ref.pos))
+    np.testing.assert_array_equal(np.asarray(got.vel), np.asarray(ref.vel))
 
 
 def test_displacement_trigger_ignores_translation():
