@@ -41,7 +41,7 @@ def main() -> int:
     np.asarray(jax.block_until_ready(jnp.zeros(8)))
     print(f"warmup {time.time() - t0:.1f}s", flush=True)
 
-    from softbody_tpu.ops.farfield import _BIG
+    _BIG = 3.0e38
 
     wp, hp = 1056, 1280
     c = 4
@@ -79,7 +79,7 @@ def main() -> int:
         def cr(p, op, lop, fill):
             v = jnp.where(alv, p, fill)
             return lax.reduce_window(
-                v, jnp.float32(fill), lop, (c, c), (c, c), "VALID")
+                v, np.float32(fill), lop, (c, c), (c, c), "VALID")
         return outputs(cr)
 
     @jax.jit
@@ -89,7 +89,7 @@ def main() -> int:
             # sublane tree: rows 4i..4i+3 → combined at stride via slices
             v = lop(lop(v[0::4], v[1::4]), lop(v[2::4], v[3::4]))
             return lax.reduce_window(
-                v, jnp.float32(fill), lop, (1, c), (1, c), "VALID")
+                v, np.float32(fill), lop, (1, c), (1, c), "VALID")
         return outputs(cr)
 
     for label, f in (("A1 4-D reshape", a1), ("A2 two-step reshape", a2),

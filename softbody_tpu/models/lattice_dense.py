@@ -82,9 +82,11 @@ def tearing_cloth_lattice(
     spring: float = 200.0,
     damp: float = 10.0,
     strain_limit: float = 0.5,
+    yield_strain: float = 0.3,
     collision_stencil: int = 2,
     pin_top: bool = False,
     fall_speed: float = 2.0,
+    slits: int = 0,
 ) -> Tuple[LatticeState, LatticeSpec, StaticConfig, "PhysicsConstants"]:
     """BASELINE config 5 on the dense path: near-square lattice spanning
     the world, falling and tearing where it crumples on impact.
@@ -93,6 +95,14 @@ def tearing_cloth_lattice(
     tension exceeds any stable spring's strength, so it (correctly)
     disintegrates; the falling variant keeps tearing *ongoing* and is the
     benchmark default.
+
+    ``slits > 0`` pre-perforates the sheet: that many vertical cuts,
+    alternating from the bottom and top edges and spanning 85% of the
+    height, so impact stress concentrates in the narrow bridges at the
+    slit tips and tearing propagates from them under GENTLE dynamics —
+    the un-slit sheet only tears once the whole-sheet crush reaches
+    shock speeds (Δv ≈ r/dt from the penetration resolver), which is a
+    far harsher contact regime than "cloth tearing".
 
     Returns ``(state, spec, cfg, consts)``: at this density the default
     world gravity (0.5/unit mass) statically crushes a 1000-row pile
@@ -107,8 +117,26 @@ def tearing_cloth_lattice(
         pinned[:, h - 1] = True
     state = make_lattice(
         w, h, spacing, spring=spring, damp=damp,
-        yield_strain=0.3, strain_limit=strain_limit, pinned_mask=pinned,
+        yield_strain=yield_strain, strain_limit=strain_limit,
+        pinned_mask=pinned,
     )
+    if slits > 0:
+        import dataclasses
+        import jax.numpy as jnp
+
+        edges = list(state.edges)
+        for si in range(slits):
+            cx = (si + 1) * w // (slits + 1)  # cut between columns cx, cx+1
+            from_bottom = si % 2 == 0
+            lo, hi = (0, int(0.85 * h)) if from_bottom else (int(0.15 * h), h)
+            for ci, (dx, dy) in enumerate(EDGE_OFFSETS):
+                if dx == 0:
+                    continue  # vertical edges don't cross a vertical cut
+                e = edges[ci]
+                al = np.asarray(e.alive).copy()
+                al[cx, lo:hi] = False
+                edges[ci] = dataclasses.replace(e, alive=jnp.asarray(al))
+        state = dataclasses.replace(state, edges=tuple(edges))
     if not pin_top and fall_speed:
         import dataclasses
         import jax.numpy as jnp

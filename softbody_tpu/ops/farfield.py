@@ -68,6 +68,7 @@ import jax
 import jax.numpy as jnp
 
 _BIG = jnp.float32(3.0e38)
+_BIG_F = 3.0e38  # python-float twin (lax.reduce_window needs a concrete init)
 
 
 def _nz(flags: jax.Array, size: int) -> jax.Array:
@@ -102,6 +103,19 @@ class FarFieldSpec:
     max_pairs: int = 512        # chunk-pair capacity (per-substep work)
     max_tile_pairs: int = 128   # far tile-pair capacity (rebuild refine)
     skin: float = 2.0
+    # velocity-EXTRUDED detection (used when the rebuild is given
+    # velocities): each chunk's AABB is swept along its own velocity
+    # span for ``horizon`` substeps (directional extrusion, not
+    # isotropic inflation — uniform motion extrudes every box
+    # identically and adds NO candidates), and the list stays valid
+    # while every particle's deviation from linear motion
+    # ``p_ref + v_ref·τ`` stays within skin/2 and τ < horizon.  Fast
+    # debris thus collects its flight-path candidates up front instead
+    # of forcing a global rebuild every couple of substeps.
+    # ``speed_safety`` scales the one-substep deviation-growth margin in
+    # the trigger (covers in-substep impulses changing the velocity).
+    horizon: int = 16
+    speed_safety: float = 2.0
 
     @property
     def tile(self) -> int:
@@ -152,6 +166,11 @@ class FarList:
     px_ref: jax.Array    # [W, H] x positions at rebuild (trigger baseline)
     py_ref: jax.Array    # [W, H] y positions at rebuild
     com_ref: jax.Array   # [2] alive-mean position at rebuild
+    vx_ref: jax.Array    # [W, H] x velocities at rebuild (linear-motion
+    vy_ref: jax.Array    # [W, H] y velocities     reference for the
+    #   deviation trigger; zeros for position-only rebuilds)
+    age: jax.Array       # [] int32 substeps since rebuild (extruded
+    #   lists expire at the spec's horizon)
 
     @property
     def capacity(self) -> int:
@@ -200,40 +219,84 @@ def unchunk_view(x: jax.Array, wp: int, hp: int, ff: FarFieldSpec) -> jax.Array:
 # rebuild
 
 
-def _detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec, radius: float):
+def _detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec, radius: float,
+               vxu=None, vyu=None, dt: float = 0.0):
     """Dense candidate detection: returns the three source masks plus the
     tile-refinement tables (everything before compaction).  Inputs are
-    unpadded x/y planes ``[W, H]`` plus the alive mask."""
+    unpadded x/y planes ``[W, H]`` plus the alive mask.
+
+    With velocity planes, detection is VELOCITY-INFLATED: chunk AABBs are
+    expanded by ``radius + allow_c`` where
+    ``allow_c = skin/2 + speed_safety · chunk_max_speed · horizon · dt``
+    is that chunk's displacement allowance (the trigger budget).  A
+    non-candidate pair (i∈A, j∈B) then has reference gap
+    > 2r + allow_A + allow_B, so the list stays exact while every chunk's
+    max displacement stays within its own allowance — one fast debris
+    chunk no longer invalidates the whole list every substep."""
     w, h = pxu.shape[0], pxu.shape[1]
     cwx, cwy, wp, hp = _chunk_dims(w, h, ff)
     c = ff.chunk
     tc = ff.tile_chunks
-    reach = 2.0 * radius + ff.skin          # detection distance
-    m = jnp.float32(radius + 0.5 * ff.skin)  # per-AABB expansion
 
     px = _pad_plane(pxu, wp, hp, 0.0)
     py = _pad_plane(pyu, wp, hp, 0.0)
     alv = _pad_plane(alive, wp, hp, False)
 
     # ---- chunk AABBs (masked reductions; empty chunks never overlap) ----
-    # two-step: sublane-group reduce first ([cwx·c, hp] → [cwx, hp]), then
-    # lane-group ([cwx, cwy·c] → [cwx, cwy]) — avoids the 4-D
-    # reshape+double-axis reduce, whose TPU lowering relayouts the plane
-    def creduce(plane, op, fill):
+    # sublane groups via a strided-slice min/max tree, lane groups via
+    # lax.reduce_window (the pooling path) — fastest of four measured
+    # variants (scripts/profile_aabb.py: 1.73 ms vs 3.19 for the naive
+    # 4-D reshape+reduce over the five planes at 1M)
+    def creduce(plane, lop, fill):
         v = jnp.where(alv, plane, fill)
-        v = op(v.reshape(cwx, c, hp), axis=1)
-        return op(v.reshape(cwx, cwy, c), axis=2)
+        if c == 4:
+            v = lop(lop(v[0::4], v[1::4]), lop(v[2::4], v[3::4]))
+            win = (1, c)
+        else:
+            win = (c, c)
+        return jax.lax.reduce_window(
+            v, np.float32(fill), lop, win, win, "VALID"
+        )
 
-    cminx = creduce(px, jnp.min, _BIG)
-    cmaxx = creduce(px, jnp.max, -_BIG)
-    cminy = creduce(py, jnp.min, _BIG)
-    cmaxy = creduce(py, jnp.max, -_BIG)
-    cany = creduce(alv.astype(jnp.float32), jnp.max, 0.0) > 0.0
+    cminx = creduce(px, jax.lax.min, _BIG_F)
+    cmaxx = creduce(px, jax.lax.max, -_BIG_F)
+    cminy = creduce(py, jax.lax.min, _BIG_F)
+    cmaxy = creduce(py, jax.lax.max, -_BIG_F)
+    cany = creduce(alv.astype(jnp.float32), jax.lax.max, 0.0) > 0.0
+
+    # ---- velocity-extruded + margin-inflated AABB planes ----------------
+    # swept box: each chunk's AABB extended along its own velocity span
+    # for the horizon (T = horizon·dt), then inflated by r + skin/2.
+    # Uniform motion extrudes every box identically → no extra
+    # candidates; only differential motion (approaching fronts, debris)
+    # widens the candidate set — and exactly in the approach direction.
+    m0 = jnp.float32(radius + 0.5 * ff.skin)
+    if vxu is not None:
+        T = jnp.float32(ff.horizon * dt)
+        vx = _pad_plane(vxu, wp, hp, 0.0)
+        vy = _pad_plane(vyu, wp, hp, 0.0)
+        vminx = creduce(vx, jax.lax.min, _BIG_F)
+        vmaxx = creduce(vx, jax.lax.max, -_BIG_F)
+        vminy = creduce(vy, jax.lax.min, _BIG_F)
+        vmaxy = creduce(vy, jax.lax.max, -_BIG_F)
+        # empty chunks reduce to ±BIG; zero them so ±BIG·T stays finite
+        # (cany gates every test anyway)
+        z = jnp.float32(0.0)
+        vminx = jnp.where(cany, vminx, z)
+        vmaxx = jnp.where(cany, vmaxx, z)
+        vminy = jnp.where(cany, vminy, z)
+        vmaxy = jnp.where(cany, vmaxy, z)
+        iminx = cminx + jnp.minimum(vminx * T, 0.0) - m0
+        imaxx = cmaxx + jnp.maximum(vmaxx * T, 0.0) + m0
+        iminy = cminy + jnp.minimum(vminy * T, 0.0) - m0
+        imaxy = cmaxy + jnp.maximum(vmaxy * T, 0.0) + m0
+    else:
+        iminx, imaxx = cminx - m0, cmaxx + m0
+        iminy, imaxy = cminy - m0, cmaxy + m0
 
     # ---- source 1: particle band (same / adjacent chunk pairs) ----------
     # pad ONCE to the band's full reach and slice per offset — a per-offset
     # jnp.pad materializes a fresh plane each time (measured 40×+ slower)
-    reach2 = jnp.float32(reach * reach)
     br = 2 * c - 1
     px_b = jnp.pad(px, ((0, br), (br, br)), constant_values=_BIG)
     py_b = jnp.pad(py, ((0, br), (br, br)), constant_values=_BIG)
@@ -242,11 +305,23 @@ def _detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec, radius: float):
     def shifted(plane_b, dx, dy):
         return plane_b[dx : dx + wp, br + dy : br + dy + hp]
 
+    base_reach = jnp.float32(2.0 * radius + ff.skin)
+    if vxu is not None:
+        vx_b = jnp.pad(vx, ((0, br), (br, br)), constant_values=0.0)
+        vy_b = jnp.pad(vy, ((0, br), (br, br)), constant_values=0.0)
+    else:
+        reach2 = base_reach * base_reach
     flag = jnp.zeros((wp, hp), bool)
     for dx, dy in ff.band_half_offsets(s):
         d2 = (shifted(px_b, dx, dy) - px) ** 2 + (
             shifted(py_b, dx, dy) - py
         ) ** 2
+        if vxu is not None:
+            # per-pair swept reach: closing speed ≤ |v_i − v_j|
+            rvx = shifted(vx_b, dx, dy) - vx
+            rvy = shifted(vy_b, dx, dy) - vy
+            reach = base_reach + jnp.sqrt(rvx * rvx + rvy * rvy) * T
+            reach2 = reach * reach
         flag = flag | (alv & shifted(alv_b, dx, dy) & (d2 < reach2))
     cflag = jnp.any(flag.reshape(cwx, c, cwy, c), axis=(1, 3))
 
@@ -260,10 +335,10 @@ def _detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec, radius: float):
     # chunk-plane padded views, shared by the band-adjacency and annulus
     # stencils (single pad, sliced per offset)
     ar = 2 * tc - 1
-    cminx_b = jnp.pad(cminx, ((0, ar), (ar, ar)), constant_values=_BIG)
-    cmaxx_b = jnp.pad(cmaxx, ((0, ar), (ar, ar)), constant_values=-_BIG)
-    cminy_b = jnp.pad(cminy, ((0, ar), (ar, ar)), constant_values=_BIG)
-    cmaxy_b = jnp.pad(cmaxy, ((0, ar), (ar, ar)), constant_values=-_BIG)
+    cminx_b = jnp.pad(iminx, ((0, ar), (ar, ar)), constant_values=_BIG)
+    cmaxx_b = jnp.pad(imaxx, ((0, ar), (ar, ar)), constant_values=-_BIG)
+    cminy_b = jnp.pad(iminy, ((0, ar), (ar, ar)), constant_values=_BIG)
+    cmaxy_b = jnp.pad(imaxy, ((0, ar), (ar, ar)), constant_values=-_BIG)
     cany_b = jnp.pad(cany, ((0, ar), (ar, ar)), constant_values=False)
     cflag_b = jnp.pad(cflag, ((0, ar), (ar, ar)), constant_values=False)
 
@@ -285,12 +360,13 @@ def _detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec, radius: float):
     ann_offsets = ff.annulus_half_offsets()
 
     def aabb_overlap_shift(dx, dy):
+        # inflated-AABB overlap: each side carries its own r + allowance
         return (
             cany & csh(cany_b, dx, dy)
-            & (cminx - m <= csh(cmaxx_b, dx, dy) + m)
-            & (csh(cminx_b, dx, dy) - m <= cmaxx + m)
-            & (cminy - m <= csh(cmaxy_b, dx, dy) + m)
-            & (csh(cminy_b, dx, dy) - m <= cmaxy + m)
+            & (iminx <= csh(cmaxx_b, dx, dy))
+            & (csh(cminx_b, dx, dy) <= imaxx)
+            & (iminy <= csh(cmaxy_b, dx, dy))
+            & (csh(cminy_b, dx, dy) <= imaxy)
         )
 
     # per-chunk offset BITMASK: word w bit b records whether annulus
@@ -317,19 +393,21 @@ def _detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec, radius: float):
     def treduce(plane, op):
         return op(plane.reshape(tx, tc, ty, tc), axis=(1, 3))
 
-    tminx = treduce(cminx, jnp.min).reshape(tn)
-    tmaxx = treduce(cmaxx, jnp.max).reshape(tn)
-    tminy = treduce(cminy, jnp.min).reshape(tn)
-    tmaxy = treduce(cmaxy, jnp.max).reshape(tn)
+    # tile AABBs reduce the INFLATED chunk planes, so per-chunk speed
+    # allowances carry through to the tile test
+    tminx = treduce(iminx, jnp.min).reshape(tn)
+    tmaxx = treduce(imaxx, jnp.max).reshape(tn)
+    tminy = treduce(iminy, jnp.min).reshape(tn)
+    tmaxy = treduce(imaxy, jnp.max).reshape(tn)
     tany = treduce(cany, jnp.any).reshape(tn)
     tix = jnp.arange(tn, dtype=jnp.int32) // ty
     tiy = jnp.arange(tn, dtype=jnp.int32) % ty
 
     ov = (
-        (tminx[:, None] - m <= tmaxx[None, :] + m)
-        & (tminx[None, :] - m <= tmaxx[:, None] + m)
-        & (tminy[:, None] - m <= tmaxy[None, :] + m)
-        & (tminy[None, :] - m <= tmaxy[:, None] + m)
+        (tminx[:, None] <= tmaxx[None, :])
+        & (tminx[None, :] <= tmaxx[:, None])
+        & (tminy[:, None] <= tmaxy[None, :])
+        & (tminy[None, :] <= tmaxy[:, None])
         & tany[:, None] & tany[None, :]
     )
     tcheb = jnp.maximum(
@@ -369,19 +447,19 @@ def _detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec, radius: float):
     def gat(plane):
         return plane.reshape(-1)[ca_ids], plane.reshape(-1)[cb_ids]
 
-    aminx, bminx = gat(cminx)
-    amaxx, bmaxx = gat(cmaxx)
-    aminy, bminy = gat(cminy)
-    amaxy, bmaxy = gat(cmaxy)
+    aminx, bminx = gat(iminx)
+    amaxx, bmaxx = gat(imaxx)
+    aminy, bminy = gat(iminy)
+    amaxy, bmaxy = gat(imaxy)
     aany, bany = gat(cany)
     acx, bcx = ca_ids // cwy, cb_ids // cwy
     acy, bcy = ca_ids % cwy, cb_ids % cwy
 
     ref_ov = (
-        (aminx[:, :, None] - m <= bmaxx[:, None, :] + m)
-        & (bminx[:, None, :] - m <= amaxx[:, :, None] + m)
-        & (aminy[:, :, None] - m <= bmaxy[:, None, :] + m)
-        & (bminy[:, None, :] - m <= amaxy[:, :, None] + m)
+        (aminx[:, :, None] <= bmaxx[:, None, :])
+        & (bminx[:, None, :] <= amaxx[:, :, None])
+        & (aminy[:, :, None] <= bmaxy[:, None, :])
+        & (bminy[:, None, :] <= amaxy[:, :, None])
         & aany[:, :, None] & bany[:, None, :]
         & tile_valid[:, None, None]
     )
@@ -426,17 +504,23 @@ def rebuild_far_list_planes(
     s: int,
     ff: FarFieldSpec,
     radius: float,
+    vx=None,
+    vy=None,
+    dt: float = 0.0,
 ) -> FarList:
     """Build the candidate chunk-pair list from current positions (plane
     inputs; traceable — used both standalone and inside the on-device
-    frame's ``lax.cond`` rebuild branch).
+    frame's ``lax.cond`` rebuild branch).  With ``vx``/``vy``/``dt`` the
+    detection is velocity-extruded (see :func:`_detection`) and the list
+    records the velocity reference for :func:`list_invalid`.
 
     All work is dense (reductions, shifted compares, one [T, T] tile
     test) plus three fixed-capacity sort-based compactions (``_nz``).
     """
     (band_stack, ann_any, ann_count, ann_words, ref_ov, ca_ids, cb_ids,
-     tile_overflow, adj_offsets, ann_offsets, cwy, com) = _detection(
-         px, py, alive, s=s, ff=ff, radius=radius)
+     tile_overflow, adj_offsets, ann_offsets, cwy, com) = \
+        _detection(px, py, alive, s=s, ff=ff, radius=radius,
+                   vxu=vx, vyu=vy, dt=dt)
 
     # ---- compact the three sources --------------------------------------
     # Hit chunks first (every flagged chunk holds ≥1 pair, so K rows
@@ -544,6 +628,9 @@ def rebuild_far_list_planes(
         px_ref=px,
         py_ref=py,
         com_ref=com,
+        vx_ref=jnp.zeros_like(px) if vx is None else vx,
+        vy_ref=jnp.zeros_like(py) if vy is None else vy,
+        age=jnp.int32(0),
     )
 
 
@@ -551,15 +638,43 @@ def rebuild_far_list_planes(
 def rebuild_far_list(
     pos: jax.Array,
     alive: jax.Array,
+    vel: Optional[jax.Array] = None,
     *,
     s: int,
     ff: FarFieldSpec,
     radius: float,
+    dt: float = 0.0,
 ) -> FarList:
-    """:func:`rebuild_far_list_planes` on an interleaved ``[W, H, 2]``
-    position array (engine/test convenience)."""
+    """:func:`rebuild_far_list_planes` on interleaved ``[W, H, 2]``
+    position (and optional velocity) arrays (engine/test convenience)."""
+    kw = {}
+    if vel is not None:
+        kw = dict(vx=vel[..., 0], vy=vel[..., 1], dt=dt)
     return rebuild_far_list_planes(
-        pos[..., 0], pos[..., 1], alive, s=s, ff=ff, radius=radius
+        pos[..., 0], pos[..., 1], alive, s=s, ff=ff, radius=radius, **kw
+    )
+
+
+def list_invalid(px, py, vx, vy, alive, fl: FarList, dt,
+                 ff: FarFieldSpec):
+    """True when the extruded list no longer covers the next substep:
+    some particle's deviation from its linear reference motion
+    ``p_ref + v_ref·τ`` (plus a margin for this substep's deviation
+    growth ``speed_safety·|v − v_ref|·dt``) exceeds skin/2, or the list
+    reaches its extrusion horizon.  One fused elementwise pass + full
+    reduce (runs every substep inside the on-device frame)."""
+    tau = fl.age.astype(jnp.float32) * jnp.float32(dt)
+    ddx = px - (fl.px_ref + fl.vx_ref * tau)
+    ddy = py - (fl.py_ref + fl.vy_ref * tau)
+    dev = jnp.sqrt(ddx * ddx + ddy * ddy)
+    dvx = vx - fl.vx_ref
+    dvy = vy - fl.vy_ref
+    margin = (
+        jnp.float32(ff.speed_safety * dt) * jnp.sqrt(dvx * dvx + dvy * dvy)
+    )
+    slack = jnp.where(alive, dev + margin, 0.0)
+    return (jnp.max(slack) > jnp.float32(0.5 * ff.skin)) | (
+        fl.age >= ff.horizon
     )
 
 
@@ -570,25 +685,6 @@ def crop_far_list(fl: FarList, k: int) -> FarList:
     return dataclasses.replace(
         fl, ca=fl.ca[:k], cb=fl.cb[:k], valid=fl.valid[:k]
     )
-
-
-def motion_planes(px, py, vx, vy, alive, fl: FarList):
-    """(max COM-relative displacement since rebuild, max COM-relative
-    speed) from x/y planes — the on-device frame's per-substep rebuild
-    trigger inputs (list valid while displacement stays ≤ skin/2)."""
-    n_alive = jnp.maximum(jnp.sum(alive.astype(jnp.float32)), 1.0)
-
-    def mean(p):
-        return jnp.sum(jnp.where(alive, p, 0.0)) / n_alive
-
-    comx, comy = mean(px), mean(py)
-    ddx = (px - fl.px_ref) - (comx - fl.com_ref[0])
-    ddy = (py - fl.py_ref) - (comy - fl.com_ref[1])
-    d2 = jnp.where(alive, ddx * ddx + ddy * ddy, 0.0)
-    dvx = vx - mean(vx)
-    dvy = vy - mean(vy)
-    v2 = jnp.where(alive, dvx * dvx + dvy * dvy, 0.0)
-    return jnp.sqrt(jnp.max(d2)), jnp.sqrt(jnp.max(v2))
 
 
 @jax.jit
@@ -660,6 +756,10 @@ def far_collision_terms(
     stack = jnp.stack([px, py, vx, vy, alive.astype(jnp.float32)])
     cx_ids = (ids // cwy).astype(jnp.int32)
     cy_ids = (ids % cwy).astype(jnp.int32)
+    # NOTE: a lax.gather of [5, c, c] window SLICES (one slice per chunk)
+    # measured 10.9 ms at k=512 — TPU lowers slice-mode gather/scatter
+    # near-serially.  The element windowed gather below is the fastest
+    # measured form (~1 ms/substep at k=512 inside the frame).
     ii = jnp.arange(c, dtype=jnp.int32)
     xi = (cx_ids[:, None] * c + ii[None, :])[:, :, None]  # [2k, c, 1]
     yj = (cy_ids[:, None] * c + ii[None, :])[:, None, :]  # [2k, 1, c]
@@ -742,10 +842,8 @@ def far_collision_terms(
     ).reshape(2 * k, 5 * cc)
 
     # Scatter back as a FLAT element scatter-add: 2k·cc linear indices
-    # per plane.  Measured (scripts/profile_far2.py frame bisection):
-    # 0.71 ms/substep at 1M vs 2.5 ms for the former blocked one-hot MXU
-    # contraction + chunk-major output transpose — the transposes, not
-    # the arithmetic, were the cost.  Duplicate chunk ids sum naturally;
+    # per plane (slice-mode lax.scatter_add measured ~10× slower — see
+    # the gather note above).  Duplicate chunk ids sum naturally;
     # invalid entries carry zero contributions (masked above), so their
     # chunk-0 target indices are harmless.
     kk2 = jnp.arange(cc, dtype=jnp.int32)
@@ -764,6 +862,7 @@ def empty_far_list_at(pos, com, ff: FarFieldSpec) -> FarList:
     """An all-invalid list anchored at the given reference positions —
     what a full rebuild would return when detection found nothing."""
     k = ff.max_pairs
+    w, h = pos.shape[0], pos.shape[1]
     return FarList(
         ca=jnp.zeros((k,), jnp.int32),
         cb=jnp.zeros((k,), jnp.int32),
@@ -773,6 +872,9 @@ def empty_far_list_at(pos, com, ff: FarFieldSpec) -> FarList:
         px_ref=pos[..., 0],
         py_ref=pos[..., 1],
         com_ref=com,
+        vx_ref=jnp.zeros((w, h), jnp.float32),
+        vy_ref=jnp.zeros((w, h), jnp.float32),
+        age=jnp.int32(0),
     )
 
 
@@ -790,4 +892,7 @@ def empty_far_list(w: int, h: int, ff: FarFieldSpec) -> FarList:
         px_ref=jnp.full((w, h), -1.0e9, jnp.float32),
         py_ref=jnp.full((w, h), -1.0e9, jnp.float32),
         com_ref=jnp.zeros((2,), jnp.float32),
+        vx_ref=jnp.zeros((w, h), jnp.float32),
+        vy_ref=jnp.zeros((w, h), jnp.float32),
+        age=jnp.int32(0),
     )

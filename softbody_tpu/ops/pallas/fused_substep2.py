@@ -744,14 +744,21 @@ def fused_frame2_auto(hot, obs, immut, edge_consts, fl,
 
     Per substep, BEFORE stepping:
 
-    1. the Verlet displacement trigger runs on the carry planes
-       (``motion_planes``): if the max COM-relative displacement since
-       rebuild plus twice this substep's projected motion could exceed
-       the ``skin/2`` budget, a ``lax.cond`` branch rebuilds the list
-       from current positions (factor 2 covers in-substep speed growth);
-    2. a second ``lax.cond`` picks the far-field kernel variant only when
-       the list is non-empty — the common no-fold substep pays just the
-       trigger reductions on top of the hot kernel.
+    1. the deviation trigger runs on the carry planes
+       (``list_invalid``): rebuild only when some particle's deviation
+       from its linear reference motion ``p_ref + v_ref·τ`` (plus a
+       one-substep growth margin) exceeds skin/2, or the list reaches
+       its extrusion horizon.  Rebuilds are velocity-EXTRUDED
+       (``FarFieldSpec.horizon``): uniform motion adds no candidates,
+       debris sweeps out its flight path up front — so neither free
+       fall nor one fast chunk forces frequent global rebuilds;
+    2. a second ``lax.cond`` computes the far delta planes only when the
+       list is non-empty (zeros otherwise) — the kernel itself is ONE
+       executable for every substep.  Keeping the pallas_call OUTSIDE
+       the conds matters twice over: branch-local pallas executables
+       triggered a runtime `INVALID_ARGUMENT` TPU fault under certain
+       branch patterns, and single-executable substeps avoid the cond
+       buffer copies.
 
     This replaces the host-driven chunking loop (engine/backends.py
     history): host-side rebuild decisions cost a device sync plus Python
@@ -761,9 +768,11 @@ def fused_frame2_auto(hot, obs, immut, edge_consts, fl,
     Returns ``(hot', obs', fl', stats)`` with ``stats = int32[3]``
     (rebuilds this frame, max n_pairs seen, max overflow seen).
     """
+    import dataclasses as _dc
+
     from ..farfield import (
         far_collision_terms,
-        motion_planes,
+        list_invalid,
         rebuild_far_list_planes,
     )
 
@@ -778,8 +787,6 @@ def fused_frame2_auto(hot, obs, immut, edge_consts, fl,
     kw = dict(w=w, h=h, stencil=stencil, quantized=quantized,
               tile_w=tile_w, interpret=interpret)
     n = cfg.subticks if n_sub is None else n_sub
-    budget = jnp.float32(0.5 * ffspec.skin)
-    dt = jnp.float32(cfg.dt)
 
     def far_of(m, fl_):
         deltas = far_collision_terms(
@@ -792,16 +799,16 @@ def fused_frame2_auto(hot, obs, immut, edge_consts, fl,
         return jnp.stack(deltas)
 
     def substep(m, fl_, st, obs_in=None):
-        disp, vrel = motion_planes(
-            m[PX], m[PY], m[VX], m[VY], alive_plane, fl_
+        need = list_invalid(
+            m[PX], m[PY], m[VX], m[VY], alive_plane, fl_, cfg.dt, ffspec
         )
-        need = disp + 2.0 * vrel * dt > budget
         fl_ = jax.lax.cond(
             need,
             lambda mm, old: rebuild_far_list_planes(
                 mm[PX], mm[PY], alive_plane,
                 s=spec.collision_stencil, ff=ffspec,
                 radius=cfg.particle_radius,
+                vx=mm[VX], vy=mm[VY], dt=cfg.dt,
             ),
             lambda mm, old: old,
             m, fl_,
@@ -811,16 +818,17 @@ def fused_frame2_auto(hot, obs, immut, edge_consts, fl,
             jnp.maximum(st[1], fl_.n_pairs),
             jnp.maximum(st[2], fl_.overflow),
         ])
-        out = jax.lax.cond(
+        far = jax.lax.cond(
             fl_.n_pairs > 0,
-            lambda mm: fused_substep2_call(
-                mm, immut, cvec, far=far_of(mm, fl_), obs_in=obs_in, **kw
-            ),
-            lambda mm: fused_substep2_call(
-                mm, immut, cvec, obs_in=obs_in, **kw
+            lambda mm: far_of(mm, fl_),
+            lambda mm: jnp.zeros(
+                (5,) + m.shape[1:], jnp.float32
             ),
             m,
         )
+        out = fused_substep2_call(m, immut, cvec, far=far,
+                                  obs_in=obs_in, **kw)
+        fl_ = _dc.replace(fl_, age=fl_.age + 1)  # substeps since rebuild
         return out, fl_, st
 
     st0 = jnp.zeros((3,), jnp.int32)
