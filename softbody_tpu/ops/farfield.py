@@ -245,10 +245,10 @@ def _detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec, radius: float,
     # ---- chunk AABBs (masked reductions; empty chunks never overlap) ----
     # sublane groups via a strided-slice min/max tree, lane groups via
     # lax.reduce_window (the pooling path) — fastest of four measured
-    # variants (scripts/profile_aabb.py: 1.73 ms vs 3.19 for the naive
-    # 4-D reshape+reduce over the five planes at 1M)
+    # variants (scripts/profile_aabb.py; a stacked all-planes-one-pass
+    # variant measured 5× WORSE: the [S, Wp, Hp] strided slices relayout)
     def creduce(plane, lop, fill):
-        v = jnp.where(alv, plane, fill)
+        v = jnp.where(alv, plane, np.float32(fill))
         if c == 4:
             v = lop(lop(v[0::4], v[1::4]), lop(v[2::4], v[3::4]))
             win = (1, c)
@@ -263,6 +263,9 @@ def _detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec, radius: float,
     cminy = creduce(py, jax.lax.min, _BIG_F)
     cmaxy = creduce(py, jax.lax.max, -_BIG_F)
     cany = creduce(alv.astype(jnp.float32), jax.lax.max, 0.0) > 0.0
+    if vxu is not None:
+        vx = _pad_plane(vxu, wp, hp, 0.0)
+        vy = _pad_plane(vyu, wp, hp, 0.0)
 
     # ---- velocity-extruded + margin-inflated AABB planes ----------------
     # swept box: each chunk's AABB extended along its own velocity span
@@ -273,8 +276,6 @@ def _detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec, radius: float,
     m0 = jnp.float32(radius + 0.5 * ff.skin)
     if vxu is not None:
         T = jnp.float32(ff.horizon * dt)
-        vx = _pad_plane(vxu, wp, hp, 0.0)
-        vy = _pad_plane(vyu, wp, hp, 0.0)
         vminx = creduce(vx, jax.lax.min, _BIG_F)
         vmaxx = creduce(vx, jax.lax.max, -_BIG_F)
         vminy = creduce(vy, jax.lax.min, _BIG_F)
@@ -307,8 +308,17 @@ def _detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec, radius: float,
 
     base_reach = jnp.float32(2.0 * radius + ff.skin)
     if vxu is not None:
-        vx_b = jnp.pad(vx, ((0, br), (br, br)), constant_values=0.0)
-        vy_b = jnp.pad(vy, ((0, br), (br, br)), constant_values=0.0)
+        # per-pair closing speed bound via mean-relative deviation
+        # speeds: |v_i − v_j| ≤ dev_i + dev_j with dev = |v − v̄|
+        # (tight for uniform motion, one plane instead of two, and the
+        # sqrt runs once instead of per offset — the band stencil was
+        # the single largest rebuild fusion at 1.78 ms)
+        n_alive_v = jnp.maximum(jnp.sum(alv.astype(jnp.float32)), 1.0)
+        vbx = jnp.sum(jnp.where(alv, vx, 0.0)) / n_alive_v
+        vby = jnp.sum(jnp.where(alv, vy, 0.0)) / n_alive_v
+        dev = jnp.sqrt((vx - vbx) ** 2 + (vy - vby) ** 2) * T
+        dev = jnp.where(alv, dev, 0.0)
+        dev_b = jnp.pad(dev, ((0, br), (br, br)), constant_values=0.0)
     else:
         reach2 = base_reach * base_reach
     flag = jnp.zeros((wp, hp), bool)
@@ -317,10 +327,7 @@ def _detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec, radius: float,
             shifted(py_b, dx, dy) - py
         ) ** 2
         if vxu is not None:
-            # per-pair swept reach: closing speed ≤ |v_i − v_j|
-            rvx = shifted(vx_b, dx, dy) - vx
-            rvy = shifted(vy_b, dx, dy) - vy
-            reach = base_reach + jnp.sqrt(rvx * rvx + rvy * rvy) * T
+            reach = base_reach + dev + shifted(dev_b, dx, dy)
             reach2 = reach * reach
         flag = flag | (alv & shifted(alv_b, dx, dy) & (d2 < reach2))
     cflag = jnp.any(flag.reshape(cwx, c, cwy, c), axis=(1, 3))
