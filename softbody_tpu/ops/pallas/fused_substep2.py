@@ -787,6 +787,10 @@ def fused_frame2_auto(hot, obs, immut, edge_consts, fl,
     kw = dict(w=w, h=h, stencil=stencil, quantized=quantized,
               tile_w=tile_w, interpret=interpret)
     n = cfg.subticks if n_sub is None else n_sub
+    # hoisted constant for the empty-list branch (the cond still owns
+    # its output buffer, but XLA can reuse one zero source instead of
+    # materializing fresh zeros every substep)
+    zero_far = jnp.zeros((5,) + hot.shape[1:], jnp.float32)
 
     def far_of(m, fl_):
         deltas = far_collision_terms(
@@ -821,9 +825,7 @@ def fused_frame2_auto(hot, obs, immut, edge_consts, fl,
         far = jax.lax.cond(
             fl_.n_pairs > 0,
             lambda mm: far_of(mm, fl_),
-            lambda mm: jnp.zeros(
-                (5,) + m.shape[1:], jnp.float32
-            ),
+            lambda mm: zero_far,
             m,
         )
         out = fused_substep2_call(m, immut, cvec, far=far,
