@@ -423,9 +423,15 @@ class FusedLatticeBackend(LatticeBackend):
         return hot, obs
 
     def far_stats(self) -> dict:
+        """Device-accumulated stats SINCE THE LAST READ: total rebuilds,
+        max n_pairs, max overflow across the frames in the window (the
+        accumulator resets on read, so a transient fold's pair count
+        decays once reported — matching LatticeBackend's last-rebuild
+        semantics at frame granularity)."""
         if self._stats_acc is None:
             return super().far_stats()
         reb, pairs, over = (int(x) for x in np.asarray(self._stats_acc))
+        self._stats_acc = None
         return {"far_rebuilds": reb, "far_pairs": pairs,
                 "far_overflow": over}
 

@@ -60,7 +60,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -89,6 +89,27 @@ def _nz(flags: jax.Array, size: int) -> jax.Array:
     return jnp.minimum(idx, n - 1)
 
 
+class ChunkPlanes(NamedTuple):
+    """Chunk-level detection state: what the particle-plane front-end
+    (:func:`_chunk_detection`) produces and the chunk-level core
+    (:func:`_candidates_from_chunks`) consumes.  All planes are
+    ``[cwx, cwy]`` on the padded chunk grid.
+
+    The split exists because two other producers can supply the same
+    planes far cheaper than a full particle-plane pass: the fused
+    kernel's detection side-outputs (ops/pallas/fused_substep2.py) and
+    the sharded engine's all-gather of per-slab chunk planes
+    (parallel/fused_spatial2.py)."""
+
+    iminx: jax.Array   # inflated (+velocity-extruded) chunk AABBs
+    imaxx: jax.Array
+    iminy: jax.Array
+    imaxy: jax.Array
+    cany: jax.Array    # bool: chunk has any alive particle
+    cband: jax.Array   # bool: chunk has a band-source hit (at base index)
+    com: jax.Array     # [2] alive-mean position (FarList.com_ref)
+
+
 @dataclasses.dataclass(frozen=True)
 class FarFieldSpec:
     """Static far-field configuration (hashable jit argument).
@@ -99,9 +120,13 @@ class FarFieldSpec:
     """
 
     chunk: int = 4
-    tile_chunks: int = 8
+    # 4 chunks/tile (16-particle tiles): the annulus half-offset set is
+    # chebyshev [2, 2·tc−1] = 108 offsets vs 480 at tc=8 — a 4.4× cut of
+    # both the rebuild's dominant chunk-stencil cost and its compile
+    # size, for a [T, T] far-tile test that stays tiny (~5k tiles at 1M)
+    tile_chunks: int = 4
     max_pairs: int = 512        # chunk-pair capacity (per-substep work)
-    max_tile_pairs: int = 128   # far tile-pair capacity (rebuild refine)
+    max_tile_pairs: int = 256   # far tile-pair capacity (rebuild refine)
     skin: float = 2.0
     # velocity-EXTRUDED detection (used when the rebuild is given
     # velocities): each chunk's AABB is swept along its own velocity
@@ -219,11 +244,11 @@ def unchunk_view(x: jax.Array, wp: int, hp: int, ff: FarFieldSpec) -> jax.Array:
 # rebuild
 
 
-def _detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec, radius: float,
-               vxu=None, vyu=None, dt: float = 0.0):
-    """Dense candidate detection: returns the three source masks plus the
-    tile-refinement tables (everything before compaction).  Inputs are
-    unpadded x/y planes ``[W, H]`` plus the alive mask.
+def _chunk_detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec,
+                     radius: float, vxu=None, vyu=None, dt: float = 0.0,
+                     horizon_pad: int = 0) -> ChunkPlanes:
+    """Particle-plane detection front-end: reduce the ``[W, H]`` x/y
+    position planes to chunk-level state (:class:`ChunkPlanes`).
 
     With velocity planes, detection is VELOCITY-INFLATED: chunk AABBs are
     expanded by ``radius + allow_c`` where
@@ -232,7 +257,11 @@ def _detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec, radius: float,
     non-candidate pair (i∈A, j∈B) then has reference gap
     > 2r + allow_A + allow_B, so the list stays exact while every chunk's
     max displacement stays within its own allowance — one fast debris
-    chunk no longer invalidates the whole list every substep."""
+    chunk no longer invalidates the whole list every substep.
+
+    ``horizon_pad`` extends the extrusion window by that many substeps —
+    used when the detection state is older than the list's reference
+    state (kernel side-output paths)."""
     w, h = pxu.shape[0], pxu.shape[1]
     cwx, cwy, wp, hp = _chunk_dims(w, h, ff)
     c = ff.chunk
@@ -275,7 +304,7 @@ def _detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec, radius: float,
     # widens the candidate set — and exactly in the approach direction.
     m0 = jnp.float32(radius + 0.5 * ff.skin)
     if vxu is not None:
-        T = jnp.float32(ff.horizon * dt)
+        T = jnp.float32((ff.horizon + horizon_pad) * dt)
         vminx = creduce(vx, jax.lax.min, _BIG_F)
         vmaxx = creduce(vx, jax.lax.max, -_BIG_F)
         vminy = creduce(vy, jax.lax.min, _BIG_F)
@@ -331,6 +360,24 @@ def _detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec, radius: float,
             reach2 = reach * reach
         flag = flag | (alv & shifted(alv_b, dx, dy) & (d2 < reach2))
     cflag = jnp.any(flag.reshape(cwx, c, cwy, c), axis=(1, 3))
+
+    n_alive = jnp.maximum(jnp.sum(alive.astype(jnp.float32)), 1.0)
+    com = jnp.stack([
+        jnp.sum(jnp.where(alive, pxu, 0.0)) / n_alive,
+        jnp.sum(jnp.where(alive, pyu, 0.0)) / n_alive,
+    ])
+    return ChunkPlanes(iminx, imaxx, iminy, imaxy, cany, cflag, com)
+
+
+def _candidates_from_chunks(cp: ChunkPlanes, *, ff: FarFieldSpec):
+    """Chunk-level detection core: candidate masks + tile-refinement
+    tables from :class:`ChunkPlanes` (everything before compaction).
+    All work here is on ``[cwx, cwy]`` chunk planes — ~256× smaller than
+    the particle planes."""
+    iminx, imaxx, iminy, imaxy = cp.iminx, cp.imaxx, cp.iminy, cp.imaxy
+    cany, cflag = cp.cany, cp.cband
+    cwx, cwy = cany.shape
+    tc = ff.tile_chunks
 
     # A flagged chunk's band pair may land in any of the 9 neighbor
     # chunks (band reach 2*chunk−1 crosses at most one chunk boundary per
@@ -476,13 +523,17 @@ def _detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec, radius: float,
     )
     ref_ov = ref_ov & (ccheb >= 2 * tc)
 
-    n_alive = jnp.maximum(jnp.sum(alive.astype(jnp.float32)), 1.0)
-    com = jnp.stack([
-        jnp.sum(jnp.where(alive, pxu, 0.0)) / n_alive,
-        jnp.sum(jnp.where(alive, pyu, 0.0)) / n_alive,
-    ])
     return (band_stack, ann_any, ann_count, ann_words, ref_ov, ca_ids,
-            cb_ids, tile_overflow, adj_offsets, ann_offsets, cwy, com)
+            cb_ids, tile_overflow, adj_offsets, ann_offsets, cwy)
+
+
+def _detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec, radius: float,
+               vxu=None, vyu=None, dt: float = 0.0):
+    """Full dense detection = particle front-end + chunk core; returns
+    the legacy tuple (core outputs + com)."""
+    cp = _chunk_detection(pxu, pyu, alive, s=s, ff=ff, radius=radius,
+                          vxu=vxu, vyu=vyu, dt=dt)
+    return _candidates_from_chunks(cp, ff=ff) + (cp.com,)
 
 
 @functools.partial(jax.jit, static_argnames=("s", "ff", "radius"))
@@ -524,10 +575,34 @@ def rebuild_far_list_planes(
     All work is dense (reductions, shifted compares, one [T, T] tile
     test) plus three fixed-capacity sort-based compactions (``_nz``).
     """
+    cp = _chunk_detection(px, py, alive, s=s, ff=ff, radius=radius,
+                          vxu=vx, vyu=vy, dt=dt)
+    return rebuild_far_list_from_chunks(
+        cp, px, py,
+        jnp.zeros_like(px) if vx is None else vx,
+        jnp.zeros_like(py) if vy is None else vy,
+        ff=ff,
+    )
+
+
+def rebuild_far_list_from_chunks(
+    cp: ChunkPlanes,
+    px_ref: jax.Array,
+    py_ref: jax.Array,
+    vx_ref: jax.Array,
+    vy_ref: jax.Array,
+    *,
+    ff: FarFieldSpec,
+) -> FarList:
+    """Candidate-list build from pre-computed :class:`ChunkPlanes` — the
+    entry point for producers that already have chunk-level detection
+    state (fused-kernel side outputs, sharded all-gathered planes).  The
+    reference planes stored in the list are passed explicitly; they may
+    be (slightly) newer than the detection state, in which case the
+    detection must have been run with a matching ``horizon_pad``."""
     (band_stack, ann_any, ann_count, ann_words, ref_ov, ca_ids, cb_ids,
-     tile_overflow, adj_offsets, ann_offsets, cwy, com) = \
-        _detection(px, py, alive, s=s, ff=ff, radius=radius,
-                   vxu=vx, vyu=vy, dt=dt)
+     tile_overflow, adj_offsets, ann_offsets, cwy) = \
+        _candidates_from_chunks(cp, ff=ff)
 
     # ---- compact the three sources --------------------------------------
     # Hit chunks first (every flagged chunk holds ≥1 pair, so K rows
@@ -632,11 +707,11 @@ def rebuild_far_list_planes(
         valid=valid & (jnp.arange(k2) < n_pairs),
         n_pairs=n_pairs.astype(jnp.int32),
         overflow=overflow.astype(jnp.int32),
-        px_ref=px,
-        py_ref=py,
-        com_ref=com,
-        vx_ref=jnp.zeros_like(px) if vx is None else vx,
-        vy_ref=jnp.zeros_like(py) if vy is None else vy,
+        px_ref=px_ref,
+        py_ref=py_ref,
+        com_ref=cp.com,
+        vx_ref=vx_ref,
+        vy_ref=vy_ref,
         age=jnp.int32(0),
     )
 
@@ -669,7 +744,18 @@ def list_invalid(px, py, vx, vy, alive, fl: FarList, dt,
     ``p_ref + v_ref·τ`` (plus a margin for this substep's deviation
     growth ``speed_safety·|v − v_ref|·dt``) exceeds skin/2, or the list
     reaches its extrusion horizon.  One fused elementwise pass + full
-    reduce (runs every substep inside the on-device frame)."""
+    reduce (runs every substep inside the on-device frame).
+
+    NOTE on the margin: the ``speed_safety·|v − v_ref|·dt`` term bounds
+    this substep's deviation growth from the *pre-substep* velocity.  An
+    impulsive in-substep velocity change (the penetration resolver can
+    impart dv ~ r/dt) can breach skin/2 mid-substep, so the Verlet
+    guarantee is heuristic under shock contacts — the next substep's
+    trigger catches it one substep late.  In that window a contact can
+    act at up to ``2r + skin`` separation error once; the skin (≥ r in
+    every shipped config) absorbs it.  A hard bound would add an r-sized
+    constant margin and roughly double the rebuild rate for no observed
+    trajectory difference (oracle fold tests pass with the heuristic)."""
     tau = fl.age.astype(jnp.float32) * jnp.float32(dt)
     ddx = px - (fl.px_ref + fl.vx_ref * tau)
     ddy = py - (fl.py_ref + fl.vy_ref * tau)
@@ -721,13 +807,50 @@ def max_relative_speed(vel, alive):
 # per-substep pair processing
 
 
-def far_collision_terms(
-    px: jax.Array,
-    py: jax.Array,
-    vx: jax.Array,
-    vy: jax.Array,
-    alive: jax.Array,
+def far_gather_windows(
+    stack: jax.Array,
+    cx_ids: jax.Array,
+    cy_ids: jax.Array,
+    *,
+    c: int,
+    w: int,
+    h: int,
+):
+    """Window-gather the 5 state planes for the given chunk coordinates:
+    ``stack [5, W, H]`` → ``g [n, 5·c²]`` (field-major rows).
+
+    Chunk-record fetch as a WINDOWED gather straight off the plane
+    layout: advanced indexing with [n, c, c] coordinate grids lowers
+    to one XLA gather.  Measured (single-jit frame bisection,
+    scripts/profile_far2.py): 0.43 ms/substep at 1M incl. the pair math,
+    vs 2.6 ms for the former chunk-major table relayout + row gather.
+    (A lax.gather of [5, c, c] window SLICES measured 10.9 ms at k=512 —
+    TPU lowers slice-mode gather/scatter near-serially.)
+
+    When w or h is not a chunk multiple, a VALID edge chunk's window
+    reaches past the plane and XLA's clip-mode gather duplicates the
+    last real row/col as live phantom particles whose one-sided
+    impulses inject momentum (the antisymmetric reaction scatters into
+    the pad and is sliced off).  The in-bounds mask zeroes the gathered
+    alive value outside the real extent — phantoms then mask out of the
+    pair validity."""
+    cc = c * c
+    n = cx_ids.shape[0]
+    ii = jnp.arange(c, dtype=jnp.int32)
+    xi = (cx_ids[:, None] * c + ii[None, :])[:, :, None]  # [n, c, 1]
+    yj = (cy_ids[:, None] * c + ii[None, :])[:, None, :]  # [n, 1, c]
+    gw = stack[:, xi, yj]  # [5, n, c, c]
+    g = gw.transpose(1, 0, 2, 3).reshape(n, 5 * cc)
+    in_bounds = ((xi < w) & (yj < h)).reshape(n, cc)
+    al = g[:, 4 * cc : 5 * cc] * in_bounds.astype(jnp.float32)
+    return jnp.concatenate([g[:, : 4 * cc], al], axis=1)
+
+
+def far_pair_contributions(
+    g: jax.Array,
     fl: FarList,
+    cx_ids: jax.Array,
+    cy_ids: jax.Array,
     *,
     s: int,
     ff: FarFieldSpec,
@@ -737,41 +860,15 @@ def far_collision_terms(
     friction,
     world_h: int,
 ):
-    """Exact reference pair math (compute.wgsl:150-168) over the candidate
-    chunk pairs; returns dense (dvx, dvy, dax, day, dyn) delta planes of
-    the *unpadded* [W, H] shape, to be added to the near-field stencil's.
-
-    Pairs are masked to index-chebyshev > ``s`` (near-field's territory)
-    and, for self-pairs, to the lower triangle — each unordered pair is
-    evaluated once and applied antisymmetrically, the same trick as
-    ops/stencil.py::_stencil_collisions.
-    """
-    w, h = px.shape
-    cwx, cwy, wp, hp = _chunk_dims(w, h, ff)
+    """Exact reference pair math (compute.wgsl:150-168) on a gathered
+    window table ``g [2k, 5·c²]`` (rows: k A-side then k B-side chunks).
+    Returns per-chunk-window contributions ``[2k, 5, c²]`` (dvx, dvy,
+    dax, day, dyn) — A-side rows carry the term, B-side rows its exact
+    negation.  Shared by the single-device path and the sharded path
+    (parallel/fused_spatial2.py), whose table arrives via psum."""
     c = ff.chunk
     cc = c * c
     k = fl.capacity
-    ids = jnp.concatenate([fl.ca, fl.cb])  # [2k]
-
-    # Chunk-record fetch as a WINDOWED gather straight off the plane
-    # layout: advanced indexing with [2k, c, c] coordinate grids lowers
-    # to one XLA gather of (c, c) slices.  Measured (single-jit frame
-    # bisection, scripts/profile_far2.py): 0.43 ms/substep at 1M incl.
-    # the pair math, vs 2.6 ms for the former chunk-major table relayout
-    # + row gather.  Out-of-range coordinates on padded edge chunks are
-    # clamped by XLA gather semantics and masked out by ``fl.valid``.
-    stack = jnp.stack([px, py, vx, vy, alive.astype(jnp.float32)])
-    cx_ids = (ids // cwy).astype(jnp.int32)
-    cy_ids = (ids % cwy).astype(jnp.int32)
-    # NOTE: a lax.gather of [5, c, c] window SLICES (one slice per chunk)
-    # measured 10.9 ms at k=512 — TPU lowers slice-mode gather/scatter
-    # near-serially.  The element windowed gather below is the fastest
-    # measured form (~1 ms/substep at k=512 inside the frame).
-    ii = jnp.arange(c, dtype=jnp.int32)
-    xi = (cx_ids[:, None] * c + ii[None, :])[:, :, None]  # [2k, c, 1]
-    yj = (cy_ids[:, None] * c + ii[None, :])[:, None, :]  # [2k, 1, c]
-    gw = stack[:, xi, yj]  # [5, 2k, c, c]
-    g = gw.transpose(1, 0, 2, 3).reshape(2 * k, 5 * cc)
     g_px = g[:, 0 * cc : 1 * cc]
     g_py = g[:, 1 * cc : 2 * cc]
     g_vx = g[:, 2 * cc : 3 * cc]
@@ -842,26 +939,82 @@ def far_collision_terms(
 
     terms = (pdvx, pdvy, pdax, pday, co)
     # a-side receives the term; b-side the exact negation (antisymmetry)
-    contrib = jnp.concatenate(
+    return jnp.concatenate(
         [jnp.stack([t.sum(axis=2) for t in terms], axis=1),    # [k, 5, cc]
          jnp.stack([-t.sum(axis=1) for t in terms], axis=1)],  # [k, 5, cc]
         axis=0,
-    ).reshape(2 * k, 5 * cc)
+    )
 
-    # Scatter back as a FLAT element scatter-add: 2k·cc linear indices
-    # per plane (slice-mode lax.scatter_add measured ~10× slower — see
-    # the gather note above).  Duplicate chunk ids sum naturally;
-    # invalid entries carry zero contributions (masked above), so their
-    # chunk-0 target indices are harmless.
+
+def far_scatter_contributions(
+    contrib: jax.Array,
+    cx_ids: jax.Array,
+    cy_ids: jax.Array,
+    *,
+    c: int,
+    wp: int,
+    hp: int,
+):
+    """Scatter ``contrib [n, 5, c²]`` back to ``[5, wp, hp]`` planes.
+
+    A FLAT element scatter-add: n·c² linear indices per plane
+    (slice-mode lax.scatter_add measured ~10× slower — see the gather
+    note).  Duplicate chunk ids sum naturally; invalid entries carry
+    zero contributions, so their chunk-0 target indices are harmless."""
+    cc = c * c
+    n = contrib.shape[0]
     kk2 = jnp.arange(cc, dtype=jnp.int32)
     lin_scatter = (
         (cx_ids[:, None] * c + kk2[None, :] // c) * hp
         + (cy_ids[:, None] * c + kk2[None, :] % c)
-    ).reshape(-1)  # [2k*cc]
-    vals = contrib.reshape(2 * k, 5, cc).transpose(1, 0, 2).reshape(5, -1)
+    ).reshape(-1)  # [n*cc]
+    vals = contrib.transpose(1, 0, 2).reshape(5, -1)
     out = jnp.zeros((5, wp * hp), jnp.float32)
     out = jax.vmap(lambda o, v: o.at[lin_scatter].add(v))(out, vals)
-    planes = out.reshape(5, wp, hp)[:, :w, :h]
+    return out.reshape(5, wp, hp)
+
+
+def far_collision_terms(
+    px: jax.Array,
+    py: jax.Array,
+    vx: jax.Array,
+    vy: jax.Array,
+    alive: jax.Array,
+    fl: FarList,
+    *,
+    s: int,
+    ff: FarFieldSpec,
+    radius,
+    dt,
+    ecoeff,
+    friction,
+    world_h: int,
+):
+    """Exact reference pair math (compute.wgsl:150-168) over the candidate
+    chunk pairs; returns dense (dvx, dvy, dax, day, dyn) delta planes of
+    the *unpadded* [W, H] shape, to be added to the near-field stencil's.
+
+    Pairs are masked to index-chebyshev > ``s`` (near-field's territory)
+    and, for self-pairs, to the lower triangle — each unordered pair is
+    evaluated once and applied antisymmetrically, the same trick as
+    ops/stencil.py::_stencil_collisions.  Composition of
+    :func:`far_gather_windows` → :func:`far_pair_contributions` →
+    :func:`far_scatter_contributions`."""
+    w, h = px.shape
+    cwx, cwy, wp, hp = _chunk_dims(w, h, ff)
+    c = ff.chunk
+    ids = jnp.concatenate([fl.ca, fl.cb])  # [2k]
+    cx_ids = (ids // cwy).astype(jnp.int32)
+    cy_ids = (ids % cwy).astype(jnp.int32)
+    stack = jnp.stack([px, py, vx, vy, alive.astype(jnp.float32)])
+    g = far_gather_windows(stack, cx_ids, cy_ids, c=c, w=w, h=h)
+    contrib = far_pair_contributions(
+        g, fl, cx_ids, cy_ids, s=s, ff=ff, radius=radius, dt=dt,
+        ecoeff=ecoeff, friction=friction, world_h=world_h,
+    )
+    planes = far_scatter_contributions(
+        contrib, cx_ids, cy_ids, c=c, wp=wp, hp=hp
+    )[:, :w, :h]
     return tuple(planes[i] for i in range(5))
 
 

@@ -230,6 +230,29 @@ def test_frame_scan_with_fixed_list_matches_oracle():
     np.testing.assert_allclose(p, os["pos"], rtol=0, atol=2e-3)
 
 
+@pytest.mark.parametrize("w,h", [(96, 6), (6, 96), (94, 6)])
+def test_edge_chunk_momentum_conservation(w, h):
+    """Non-chunk-multiple plane dims: XLA's clip-mode windowed gather
+    duplicates the last real row/col of boundary-straddling chunks as
+    phantom particles.  Before the in-bounds alive mask, their one-sided
+    impulses injected momentum (measured sum(dax) = -99.8 at 8x62).
+    The far terms must stay antisymmetric: every delta plane sums to ~0."""
+    ls = hairpin(w=w, h=h) if w >= h else vertical_hairpin(w=w, h=h)
+    fl = rebuild_far_list(ls.pos, ls.alive, s=2, ff=FF, radius=RADIUS)
+    assert int(fl.n_pairs) > 0
+    deltas = far_collision_terms(
+        ls.pos[..., 0], ls.pos[..., 1], ls.vel[..., 0], ls.vel[..., 1],
+        ls.alive, fl, s=2, ff=FF, radius=RADIUS, dt=CFG.dt,
+        ecoeff=0.75, friction=0.1, world_h=ls.shape[1],
+    )
+    assert float(jnp.abs(deltas[1]).max()) + float(
+        jnp.abs(deltas[0]).max()) > 0.0  # contacts actually fire
+    for name, d in zip(("dvx", "dvy", "dax", "day"), deltas):
+        total = float(jnp.sum(d))
+        scale = float(jnp.abs(d).sum()) + 1.0
+        assert abs(total) < 1e-4 * scale, (name, total, scale)
+
+
 def test_overflow_counter_fires():
     tiny = FarFieldSpec(max_pairs=4, max_tile_pairs=2, skin=4.0)
     ls = hairpin()
