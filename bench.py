@@ -40,7 +40,11 @@ def main() -> int:
     scene_name = os.environ.get("BENCH_SCENE", "tearing_cloth")
     path = os.environ.get("BENCH_PATH", "fused")
     far_enabled = os.environ.get("BENCH_FARFIELD", "1") != "0"
-    far_k = int(os.environ.get("BENCH_FAR_K", 512))
+    far_mode = os.environ.get("BENCH_FAR_MODE", "v4")
+    far_k = int(os.environ.get("BENCH_FAR_K",
+                               32768 if far_mode == "v4" else 512))
+    far_cadence = int(os.environ.get("BENCH_FAR_CADENCE", 8))
+    far_skin = float(os.environ.get("BENCH_FAR_SKIN", 0.75))
     fall_speed = float(os.environ.get("BENCH_FALL_SPEED", 2.5))
     slits = int(os.environ.get("BENCH_SLITS", 7))
 
@@ -75,19 +79,30 @@ def main() -> int:
         spacing = 980.0 / (w - 1)
         ff = None
         if far_enabled:
-            # skin 1.5·spacing + horizon 32: the measured sweet spot (a
-            # tighter skin rebuilds every ~2 substeps mid-impact, a wider
-            # one floods candidates in compressed regions)
-            ff = FarFieldSpec(max_pairs=max(far_k, 512),
-                              max_tile_pairs=256, skin=1.5 * spacing,
-                              horizon=32)
+            if far_mode == "v4":
+                # v4 (ops/farfield4.py): fixed-cadence rebuilds — horizon
+                # doubles as the cadence, skin only buys contact margin
+                # within a cadence window, capacity sized for zero
+                # overflow at the crumple (~25k candidate chunk pairs
+                # measured; bucketed apply keeps light frames cheap)
+                ff = FarFieldSpec(max_pairs=max(far_k, 1024),
+                                  max_tile_pairs=256,
+                                  skin=far_skin * spacing,
+                                  horizon=far_cadence)
+            else:
+                # round-2 triggered mode: skin 1.5·spacing + horizon 32
+                ff = FarFieldSpec(max_pairs=max(far_k, 512),
+                                  max_tile_pairs=256, skin=1.5 * spacing,
+                                  horizon=32)
         log(f"scene {scene_name} (fused v2 backend, lattice {w}x{h}): {n} "
             f"particles, {m} springs, stencil r={spec.collision_stencil}, "
             f"subticks={cfg.subticks}, fall={fall_speed}, slits={slits}, "
-            f"farfield={'armed (on-device)' if far_enabled else 'off'} "
-            f"(K={far_k}, skin={1.5 * spacing:.2f}) "
+            f"farfield={f'armed ({far_mode}, on-device)' if far_enabled else 'off'} "
+            f"(K={far_k}, skin={ff.skin if ff else 0:.2f}, "
+            f"cadence/horizon={ff.horizon if ff else 0}) "
             f"(built in {time.time() - t0:.1f}s)")
-        backend = FusedLatticeBackend(spec, cfg, farfield=ff, tile_w=64)
+        backend = FusedLatticeBackend(spec, cfg, farfield=ff, tile_w=64,
+                                      far_mode=far_mode)
         packed = backend.pack_state(lstate)
 
         class _Packed:

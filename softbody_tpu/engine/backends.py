@@ -353,13 +353,19 @@ class FusedLatticeBackend(LatticeBackend):
     Snapshot/corrupt round-trip through LatticeState (cold paths)."""
 
     def __init__(self, spec, cfg: StaticConfig, farfield=None,
-                 tile_w: int = 128) -> None:
+                 tile_w: int = 128, far_mode: str = "v4") -> None:
         super().__init__(spec, cfg, farfield=farfield)
         self.tile_w = tile_w
+        # "v4": fixed-cadence rebuilds + mirror-table apply (the round-3
+        # default; ops/farfield4.py).  "v3": triggered rebuilds with
+        # kernel-side detection, far state carried across frames.
+        self.far_mode = far_mode
         self._immut = None
         self._edge_consts = None
         self._template = None
         self._stats_acc = None   # device int32[3]: rebuilds/pairs/overflow
+        self._far_side = None    # kernel detection side planes (carried)
+        self._far_trig = None    # trigger carry vector (carried)
 
     def pack_state(self, lstate):
         """LatticeState → packed (hot, obs); captures immut/edge consts
@@ -370,6 +376,12 @@ class FusedLatticeBackend(LatticeBackend):
         self._immut = immut
         self._edge_consts = ec
         self._template = lstate
+        # new state ⇒ the carried far list / detection side planes /
+        # trigger vector describe a world that no longer exists; drop
+        # them so step() re-anchors from the fresh state
+        self._far_list = None
+        self._far_side = None
+        self._far_trig = None
         return (hot, obs)
 
     def unpack_state(self, state):
@@ -396,23 +408,49 @@ class FusedLatticeBackend(LatticeBackend):
                             n_sub=n_sub, observe=observe)
 
     def step(self, state, consts, uin):
-        """One frame.  With far-field armed, the far machinery rides the
-        substep scan on device (fused_frame2_auto): list carried between
-        frames on the backend, rebuild/apply decisions via lax.cond,
-        zero host syncs.  Stats accumulate device-side (``far_stats``)."""
+        """One frame.  With far-field armed the far machinery rides the
+        substep scan on device, zero host syncs; stats accumulate
+        device-side (``far_stats``).  ``far_mode="v4"`` (default) runs
+        fixed-cadence rebuilds + the mirror-table apply (fused_frame4,
+        no cross-frame far state); ``"v3"`` runs the round-2 triggered
+        design (fused_frame3_auto: kernel side-output detection, list
+        carried across frames, lax.cond rebuilds)."""
         if self.ff is None or self.cfg.collision_mode == "none":
             return self._frame_chunk(state, consts, uin, n_sub=None,
                                      observe=True)
-        from ..ops.farfield import empty_far_list
-        from ..ops.pallas.fused_substep2 import fused_frame2_auto
-
         interp = jax.default_backend() != "tpu"
+        if self.far_mode == "v4":
+            from ..ops.pallas.fused_substep2 import fused_frame4
+
+            hot, obs = state
+            hot, obs, st = fused_frame4(
+                hot, obs, self._immut, self._edge_consts, consts, uin,
+                self.spec, self.cfg, self.ff, tile_w=self.tile_w,
+                interpret=interp,
+            )
+            if self._stats_acc is None:
+                self._stats_acc = st
+            else:
+                self._stats_acc = _stats_merge(self._stats_acc, st)
+            return hot, obs
+        from ..ops.farfield import empty_far_list
+        from ..ops.pallas.fused_substep2 import (
+            far3_carry_init,
+            fused_frame3_auto,
+        )
+
         hot, obs = state
         if self._far_list is None:
             pw, ph = hot.shape[1], hot.shape[2]
             self._far_list = empty_far_list(pw, ph, self.ff)
-        hot, obs, self._far_list, st = fused_frame2_auto(
+            self._far_side, self._far_trig = far3_carry_init(
+                hot, self._immut, self.cfg, self.spec, self.ff,
+                tile_w=self.tile_w,
+            )
+        (hot, obs, self._far_list, self._far_side, self._far_trig,
+         st) = fused_frame3_auto(
             hot, obs, self._immut, self._edge_consts, self._far_list,
+            self._far_side, self._far_trig,
             consts, uin, self.spec, self.cfg, self.ff,
             tile_w=self.tile_w, interpret=interp,
         )

@@ -262,10 +262,60 @@ def _chunk_detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec,
     ``horizon_pad`` extends the extrusion window by that many substeps —
     used when the detection state is older than the list's reference
     state (kernel side-output paths)."""
+    if vxu is not None:
+        wp_, hp_ = _chunk_dims(pxu.shape[0], pxu.shape[1], ff)[2:]
+        alv_ = _pad_plane(alive, wp_, hp_, False)
+        vx_ = _pad_plane(vxu, wp_, hp_, 0.0)
+        vy_ = _pad_plane(vyu, wp_, hp_, 0.0)
+        n_alive_v = jnp.maximum(jnp.sum(alv_.astype(jnp.float32)), 1.0)
+        vbar = (jnp.sum(jnp.where(alv_, vx_, 0.0)) / n_alive_v,
+                jnp.sum(jnp.where(alv_, vy_, 0.0)) / n_alive_v)
+        T = float((ff.horizon + horizon_pad) * dt)
+    else:
+        vbar = None
+        T = 0.0
+    raw, cany, com = raw_chunk_planes(
+        pxu, pyu, alive, s=s, ff=ff, radius=radius,
+        vxu=vxu, vyu=vyu, T_band=T, vbar=vbar,
+    )
+    iminx, imaxx, iminy, imaxy = extrude_chunk_planes(
+        raw, cany, ff=ff, radius=radius, T=T,
+        extruded=vxu is not None,
+    )
+    return ChunkPlanes(iminx, imaxx, iminy, imaxy, cany, raw.band, com)
+
+
+class RawChunkPlanes(NamedTuple):
+    """Pre-extrusion chunk detection planes ``[cwx, cwy]``: alive-masked
+    position/velocity AABBs (±BIG fill for empty chunks) and the band
+    hit flag.  This is exactly what the fused kernel's detection
+    side-outputs carry (ops/pallas/fused_substep2.py); the XLA producer
+    is :func:`raw_chunk_planes` — the two are parity-tested."""
+
+    minx: jax.Array
+    maxx: jax.Array
+    miny: jax.Array
+    maxy: jax.Array
+    vminx: jax.Array
+    vmaxx: jax.Array
+    vminy: jax.Array
+    vmaxy: jax.Array
+    band: jax.Array   # bool
+
+
+def raw_chunk_planes(pxu, pyu, alive, *, s: int, ff: FarFieldSpec,
+                     radius: float, vxu=None, vyu=None,
+                     T_band: float = 0.0, vbar=None):
+    """Particle planes → (RawChunkPlanes, cany, com).
+
+    Band reach per pair is ``2r + skin + (dev_i + dev_j)`` with
+    ``dev = |v − v̄|·T_band`` (a closing-speed bound via mean-relative
+    deviation speeds: |v_i − v_j| ≤ dev_i + dev_j for any common v̄ —
+    tight for uniform motion).  With ``vxu=None`` the reach is
+    position-only."""
     w, h = pxu.shape[0], pxu.shape[1]
     cwx, cwy, wp, hp = _chunk_dims(w, h, ff)
     c = ff.chunk
-    tc = ff.tile_chunks
 
     px = _pad_plane(pxu, wp, hp, 0.0)
     py = _pad_plane(pyu, wp, hp, 0.0)
@@ -295,36 +345,14 @@ def _chunk_detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec,
     if vxu is not None:
         vx = _pad_plane(vxu, wp, hp, 0.0)
         vy = _pad_plane(vyu, wp, hp, 0.0)
-
-    # ---- velocity-extruded + margin-inflated AABB planes ----------------
-    # swept box: each chunk's AABB extended along its own velocity span
-    # for the horizon (T = horizon·dt), then inflated by r + skin/2.
-    # Uniform motion extrudes every box identically → no extra
-    # candidates; only differential motion (approaching fronts, debris)
-    # widens the candidate set — and exactly in the approach direction.
-    m0 = jnp.float32(radius + 0.5 * ff.skin)
-    if vxu is not None:
-        T = jnp.float32((ff.horizon + horizon_pad) * dt)
         vminx = creduce(vx, jax.lax.min, _BIG_F)
         vmaxx = creduce(vx, jax.lax.max, -_BIG_F)
         vminy = creduce(vy, jax.lax.min, _BIG_F)
         vmaxy = creduce(vy, jax.lax.max, -_BIG_F)
-        # empty chunks reduce to ±BIG; zero them so ±BIG·T stays finite
-        # (cany gates every test anyway)
-        z = jnp.float32(0.0)
-        vminx = jnp.where(cany, vminx, z)
-        vmaxx = jnp.where(cany, vmaxx, z)
-        vminy = jnp.where(cany, vminy, z)
-        vmaxy = jnp.where(cany, vmaxy, z)
-        iminx = cminx + jnp.minimum(vminx * T, 0.0) - m0
-        imaxx = cmaxx + jnp.maximum(vmaxx * T, 0.0) + m0
-        iminy = cminy + jnp.minimum(vminy * T, 0.0) - m0
-        imaxy = cmaxy + jnp.maximum(vmaxy * T, 0.0) + m0
     else:
-        iminx, imaxx = cminx - m0, cmaxx + m0
-        iminy, imaxy = cminy - m0, cmaxy + m0
+        vminx = vmaxx = vminy = vmaxy = jnp.zeros((cwx, cwy), jnp.float32)
 
-    # ---- source 1: particle band (same / adjacent chunk pairs) ----------
+    # ---- particle band (same / adjacent chunk pairs) --------------------
     # pad ONCE to the band's full reach and slice per offset — a per-offset
     # jnp.pad materializes a fresh plane each time (measured 40×+ slower)
     br = 2 * c - 1
@@ -337,15 +365,10 @@ def _chunk_detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec,
 
     base_reach = jnp.float32(2.0 * radius + ff.skin)
     if vxu is not None:
-        # per-pair closing speed bound via mean-relative deviation
-        # speeds: |v_i − v_j| ≤ dev_i + dev_j with dev = |v − v̄|
-        # (tight for uniform motion, one plane instead of two, and the
-        # sqrt runs once instead of per offset — the band stencil was
-        # the single largest rebuild fusion at 1.78 ms)
-        n_alive_v = jnp.maximum(jnp.sum(alv.astype(jnp.float32)), 1.0)
-        vbx = jnp.sum(jnp.where(alv, vx, 0.0)) / n_alive_v
-        vby = jnp.sum(jnp.where(alv, vy, 0.0)) / n_alive_v
-        dev = jnp.sqrt((vx - vbx) ** 2 + (vy - vby) ** 2) * T
+        vbx, vby = vbar
+        dev = jnp.sqrt((vx - vbx) ** 2 + (vy - vby) ** 2) * jnp.float32(
+            T_band
+        )
         dev = jnp.where(alv, dev, 0.0)
         dev_b = jnp.pad(dev, ((0, br), (br, br)), constant_values=0.0)
     else:
@@ -366,7 +389,39 @@ def _chunk_detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec,
         jnp.sum(jnp.where(alive, pxu, 0.0)) / n_alive,
         jnp.sum(jnp.where(alive, pyu, 0.0)) / n_alive,
     ])
-    return ChunkPlanes(iminx, imaxx, iminy, imaxy, cany, cflag, com)
+    raw = RawChunkPlanes(cminx, cmaxx, cminy, cmaxy,
+                         vminx, vmaxx, vminy, vmaxy, cflag)
+    return raw, cany, com
+
+
+def extrude_chunk_planes(raw: RawChunkPlanes, cany, *, ff: FarFieldSpec,
+                         radius: float, T: float, extruded: bool):
+    """Velocity-extrude + margin-inflate raw chunk AABBs → the
+    ``(iminx, imaxx, iminy, imaxy)`` planes of :class:`ChunkPlanes`.
+
+    Swept box: each chunk's AABB extended along its own velocity span
+    for ``T`` seconds, then inflated by ``r + skin/2``.  Uniform motion
+    extrudes every box identically → no extra candidates; only
+    differential motion (approaching fronts, debris) widens the
+    candidate set — and exactly in the approach direction."""
+    m0 = jnp.float32(radius + 0.5 * ff.skin)
+    if not extruded:
+        return (raw.minx - m0, raw.maxx + m0, raw.miny - m0,
+                raw.maxy + m0)
+    # empty chunks reduce to ±BIG; zero them so ±BIG·T stays finite
+    # (cany gates every test anyway)
+    z = jnp.float32(0.0)
+    Tf = jnp.float32(T)
+    vminx = jnp.where(cany, raw.vminx, z)
+    vmaxx = jnp.where(cany, raw.vmaxx, z)
+    vminy = jnp.where(cany, raw.vminy, z)
+    vmaxy = jnp.where(cany, raw.vmaxy, z)
+    return (
+        raw.minx + jnp.minimum(vminx * Tf, 0.0) - m0,
+        raw.maxx + jnp.maximum(vmaxx * Tf, 0.0) + m0,
+        raw.miny + jnp.minimum(vminy * Tf, 0.0) - m0,
+        raw.maxy + jnp.maximum(vmaxy * Tf, 0.0) + m0,
+    )
 
 
 def _candidates_from_chunks(cp: ChunkPlanes, *, ff: FarFieldSpec):
@@ -525,6 +580,93 @@ def _candidates_from_chunks(cp: ChunkPlanes, *, ff: FarFieldSpec):
 
     return (band_stack, ann_any, ann_count, ann_words, ref_ov, ca_ids,
             cb_ids, tile_overflow, adj_offsets, ann_offsets, cwy)
+
+
+def chunk_any_alive(alive, ff: FarFieldSpec) -> jax.Array:
+    """Per-chunk any-alive plane ``[cwx, cwy]`` (static per frame for the
+    fused path, whose particle alive mask is immutable)."""
+    w, h = alive.shape
+    cwx, cwy, wp, hp = _chunk_dims(w, h, ff)
+    c = ff.chunk
+    alv = _pad_plane(alive, wp, hp, False)
+    return jnp.any(alv.reshape(cwx, c, cwy, c), axis=(1, 3))
+
+
+def raw_planes_from_side(side, plane_w: int, plane_h: int,
+                         interior_off: Tuple[int, int],
+                         ff: FarFieldSpec) -> RawChunkPlanes:
+    """Kernel detection side-outputs → :class:`RawChunkPlanes` on the
+    full padded chunk grid.
+
+    ``side [N_SIDE, wi/4, hi]`` carries sublane-4-group-reduced
+    partials over the kernel's interior ``(wi, hi)`` (row ``j`` = the
+    reduce of interior rows ``[4j, 4j+4)``; the kernel extracts the
+    rows with an exact one-hot MXU row-select because Mosaic cannot
+    lower a strided sublane slice).  This finishes the lane-group
+    reduce (window 4 along y) and embeds the result at the interior's
+    chunk offset inside the ``_chunk_dims(plane_w, plane_h)`` grid
+    (pad chunks filled with empty values)."""
+    c = ff.chunk
+    cwx, cwy, _, _ = _chunk_dims(plane_w, plane_h, ff)
+    ox, oy = interior_off
+    if ox % c or oy % c:
+        raise ValueError("interior offset must be chunk-aligned")
+
+    def lred(plane, lop, fill):
+        red = jax.lax.reduce_window(
+            plane, np.float32(fill), lop, (1, c), (1, c), "VALID"
+        )
+        out = jnp.full((cwx, cwy), np.float32(fill), jnp.float32)
+        return jax.lax.dynamic_update_slice(out, red, (ox // c, oy // c))
+
+    return RawChunkPlanes(
+        minx=lred(side[0], jax.lax.min, _BIG_F),
+        maxx=lred(side[1], jax.lax.max, -_BIG_F),
+        miny=lred(side[2], jax.lax.min, _BIG_F),
+        maxy=lred(side[3], jax.lax.max, -_BIG_F),
+        vminx=lred(side[4], jax.lax.min, _BIG_F),
+        vmaxx=lred(side[5], jax.lax.max, -_BIG_F),
+        vminy=lred(side[6], jax.lax.min, _BIG_F),
+        vmaxy=lred(side[7], jax.lax.max, -_BIG_F),
+        band=lred(side[8], jax.lax.max, 0.0) > 0.0,
+    )
+
+
+def kernel_side_from_planes(pxu, pyu, alive, vxu, vyu, *, s: int,
+                            ff: FarFieldSpec, radius: float,
+                            T_band: float, vbar,
+                            interior_off: Tuple[int, int],
+                            interior_shape: Tuple[int, int]) -> jax.Array:
+    """XLA producer of the fused kernel's detection side-output array
+    ``[N_SIDE, wi/4, hi]`` (ops/pallas/fused_substep2.py) — used to
+    initialise the cross-frame side carry before the kernel has ever
+    run with the detect flag on.  Row ``j`` holds the sublane-4-group
+    reduce of interior rows ``[4j, 4j+4)``; lanes carry the chunk value
+    repeated ×4 (the kernel's lane reduce is finished downstream by
+    :func:`raw_planes_from_side` either way, so repeats are exact).
+
+    Satisfies ``raw_planes_from_side(kernel_side_from_planes(...)) ==
+    raw_chunk_planes(...)`` on alive chunks (parity-tested in
+    tests/test_fused3.py)."""
+    raw, _cany, _com = raw_chunk_planes(
+        pxu, pyu, alive, s=s, ff=ff, radius=radius,
+        vxu=vxu, vyu=vyu, T_band=T_band, vbar=vbar,
+    )
+    c = ff.chunk
+    ox, oy = interior_off
+    wi, hi = interior_shape
+    if ox % c or oy % c or wi % c or hi % c:
+        raise ValueError("interior must be chunk-aligned")
+
+    def emb(plane):
+        sl = plane[ox // c : (ox + wi) // c, oy // c : (oy + hi) // c]
+        return jnp.repeat(sl.astype(jnp.float32), c, axis=1)
+
+    return jnp.stack([
+        emb(raw.minx), emb(raw.maxx), emb(raw.miny), emb(raw.maxy),
+        emb(raw.vminx), emb(raw.vmaxx), emb(raw.vminy), emb(raw.vmaxy),
+        emb(raw.band),
+    ])
 
 
 def _detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec, radius: float,

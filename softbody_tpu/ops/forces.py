@@ -61,7 +61,12 @@ def beam_forces(state: SimState, cfg: StaticConfig):
         (state.beam_target_length - length_now) * state.beam_spring
         + (state.beam_last_length - length_now) * state.beam_damp
     )
-    force_vec = force_mag[:, None] * (diff / length_now[:, None])
+    # canonical f32 order shared by every engine path (oracle.py pins it):
+    # (fmag·dd)·(1/ln) — the reciprocal form the stencil and fused Pallas
+    # kernels use, so quantized beam forces are bit-identical across the
+    # flat, stencil, planified, and directed engines.
+    inv_len = 1.0 / length_now
+    force_vec = (force_mag[:, None] * diff) * inv_len[:, None]
 
     strain = (length_now - state.beam_target_length) / state.beam_length
     yielded = jnp.abs(strain) > state.beam_yield_strain

@@ -57,11 +57,15 @@ def integrate_particles(
     # Drag (174-176): componentwise |v|^exp times normalized v.
     speed = jnp.sqrt(jnp.sum(v * v, axis=-1))
     moving = speed > 0.0
-    safe_speed = jnp.where(moving, speed, 1.0)
+    # canonical f32 order shared with the stencil/fused kernels:
+    # ((c·|v|^exp)·v)·(1/speed) — reciprocal-multiply, keeping every
+    # engine path bit-identical under quantized forces (oracle.py pins it)
+    inv_speed = 1.0 / jnp.where(moving, speed, 1.0)
     drag = (
         consts.drag_coeff
         * jnp.abs(v) ** consts.drag_exp
-        * (v / safe_speed[:, None])
+        * v
+        * inv_speed[:, None]
     )
     a = a - jnp.where(moving[:, None], drag, 0.0)
 

@@ -90,12 +90,17 @@ EDGE_OFFSETS: Tuple[Tuple[int, int], ...] = ((0, 1), (1, 0), (1, 1), (1, -1))
 
 @dataclasses.dataclass(frozen=True)
 class LatticeSpec:
-    """Static lattice configuration (hashable jit argument)."""
+    """Static lattice configuration (hashable jit argument).
+
+    ``edge_offsets`` defaults to the reference lattice generator's four
+    classes (main.ts:203-213); the planified general-topology path
+    (ops/planify.py) passes the offset classes its embedder found."""
 
     width: int
     height: int
     # index-space Chebyshev radius of the dense collision stencil
     collision_stencil: int = 2
+    edge_offsets: Tuple[Tuple[int, int], ...] = EDGE_OFFSETS
 
     @property
     def collision_offsets(self) -> Tuple[Tuple[int, int], ...]:
@@ -131,6 +136,7 @@ def lattice_substep(
     update_observability: bool = True,
     far=None,
     ffspec=None,
+    extra_force=None,
 ) -> LatticeState:
     """One substep of the dense path (semantics of compute.wgsl:90-203).
 
@@ -143,11 +149,21 @@ def lattice_substep(
     substep but only the frame's last values are ever rendered) — the
     frame loop skips these writes for all but the final substep.
 
+    ``extra_force``: optional pre-accumulated ``(fx, fy)`` force planes
+    (int32 at PARTICLE_FORCE_SCALE when quantized, else f32) merged into
+    the beam accumulator BEFORE the fixed-point conversion — the
+    planified path's exception-beam contributions, so the total stays
+    a single commutative int sum (bit-identical to the reference's
+    atomic accumulation, compute.wgsl:68-70).
+
     TPU shaping: all vector quantities are component-split to [W, H]
     planes internally (full lane utilization), neighbor access is
     zero-padded border + static slice."""
     w, h = spec.width, spec.height
-    pad = 1  # spring stencil reach
+    # spring stencil reach = the largest offset component in play
+    pad = max(
+        [1] + [max(abs(dx), abs(dy)) for dx, dy in spec.edge_offsets]
+    )
 
     def padded(arr, fill=0.0):
         return jnp.pad(arr, pad, constant_values=fill)
@@ -171,8 +187,12 @@ def lattice_substep(
         # out[x+dx, y+dy] += arr[x, y]
         return jnp.pad(arr, pad)[pad - dx : pad - dx + w, pad - dy : pad - dy + h]
 
+    if extra_force is not None:
+        fx_acc = fx_acc + extra_force[0]
+        fy_acc = fy_acc + extra_force[1]
+
     new_edges = []
-    for (dx, dy), e in zip(EDGE_OFFSETS, state.edges):
+    for (dx, dy), e in zip(spec.edge_offsets, state.edges):
         active = e.alive & sl(alv, 0, 0) & sl(alv, dx, dy)
         # (e.alive already excludes statically-invalid border edges)
 

@@ -108,7 +108,15 @@ def substep(
         diff[zero] = np.array([0.0, -1.0e-10], F)
         ln = np.where(zero, F(1.0e-10), raw).astype(F)
         fmag = ((s["target"] - ln) * s["spring"] + (s["last"] - ln) * s["damp"]).astype(F)
-        fvec = (fmag[:, None] * (diff / ln[:, None])).astype(F)
+        # canonical f32 order across ALL engine paths: (fmag·dd)·(1/ln).
+        # The reference's `force_mag * normalize(diff)` (compute.wgsl:111)
+        # leaves the f32 association to the GPU driver; we pin the
+        # reciprocal form because it is what the hot Pallas kernel and the
+        # stencil path compute (one rcp + two mults beats two divides),
+        # making stencil/planified/directed BIT-exact vs this oracle under
+        # quantized forces instead of merely close.
+        inv_ln = (F(1.0) / ln).astype(F)
+        fvec = ((fmag[:, None] * diff) * inv_ln[:, None]).astype(F)
         strain = ((ln - s["target"]) / s["length"]).astype(F)
         yielded = np.abs(strain) > s["yield_strain"]
         new_target = (ln - s["yield_strain"] * s["length"] * np.sign(strain)).astype(F)
@@ -173,8 +181,11 @@ def substep(
     # drag (componentwise pow, normalize by speed)
     speed = np.sqrt((v * v).sum(-1)).astype(F)
     moving = speed > 0
-    safe_speed = np.where(moving, speed, F(1))
-    drag = (c["drag_coeff"] * np.abs(v) ** c["drag_exp"] * (v / safe_speed[:, None])).astype(F)
+    # canonical f32 order (matches the stencil + fused kernels):
+    # ((c·|v|^exp)·v)·(1/speed) — reciprocal then multiply, not divide
+    inv_speed = (F(1.0) / np.where(moving, speed, F(1))).astype(F)
+    drag = ((c["drag_coeff"] * np.abs(v) ** c["drag_exp"] * v)
+            * inv_speed[:, None]).astype(F)
     a -= np.where(moving[:, None], drag, F(0))
     # user force
     a += (np.asarray(u["applied_force"], F) * F(u["user_strength"]))[None, :]

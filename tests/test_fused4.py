@@ -1,0 +1,160 @@
+"""Far-field v4 (ops/farfield4.py + fused_frame4): mirror-table apply
+parity with the round-2 windowed apply, and the fixed-cadence frame's
+physics parity with the trigger-based v2 auto frame on a fold."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from softbody_tpu import PhysicsConstants, StaticConfig, UserInput
+from softbody_tpu.ops.stencil import LatticeSpec
+from softbody_tpu.ops.farfield import (
+    FarFieldSpec,
+    empty_far_list,
+    far_collision_terms,
+    rebuild_far_list_planes,
+)
+from softbody_tpu.ops.farfield4 import (
+    bucketed_far_delta_planes,
+    far_terms_from_mirror,
+    mirror_table,
+    unmirror_table,
+)
+from softbody_tpu.ops.pallas.fused_substep2 import (
+    fused_frame2_auto,
+    fused_frame4,
+    pack_lattice2,
+    unpack_lattice2,
+)
+
+from test_farfield import hairpin
+
+RADIUS = 4.0
+FF = FarFieldSpec(max_pairs=64, max_tile_pairs=32, skin=4.0, horizon=8)
+CFG = StaticConfig(subticks=8, collision_mode="allpairs",
+                   particle_radius=RADIUS, force_mode="quantized")
+
+
+def _fold_planes(w=32, h=32, seed=1):
+    rng = np.random.default_rng(seed)
+    px = np.abs(np.arange(w)[:, None] * 3.0 - 40.0) + 0.05 * rng.random(
+        (w, h))
+    px = np.broadcast_to(px, (w, h)).astype(np.float32).copy()
+    py = (np.arange(h)[None, :] * 3.0 + 10.0
+          + 0.05 * rng.random((w, h))).astype(np.float32)
+    vx = rng.normal(0, 1, (w, h)).astype(np.float32)
+    vy = rng.normal(0, 1, (w, h)).astype(np.float32)
+    alive = np.ones((w, h), bool)
+    alive[5, :4] = False
+    return tuple(jnp.asarray(a) for a in (px, py, vx, vy, alive))
+
+
+def test_mirror_roundtrip():
+    rng = np.random.default_rng(0)
+    planes = jnp.asarray(rng.normal(size=(5, 24, 40)).astype(np.float32))
+    tab = mirror_table(planes)
+    assert tab.shape == (24 * 2, 160)  # 40 → 64 lanes → 2 blocks
+    back = unmirror_table(tab, w=24, h=40)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(planes))
+
+
+def test_mirror_apply_matches_windowed_apply():
+    """far_terms_from_mirror must reproduce far_collision_terms (the
+    round-2 element-windowed apply) on a folded sheet — same pair math,
+    different gather/scatter route, so equal up to f32 sum order at
+    chunks shared by several pairs."""
+    px, py, vx, vy, alive = _fold_planes()
+    w, h = px.shape
+    ff = FarFieldSpec(max_pairs=128, max_tile_pairs=32, skin=2.0,
+                      horizon=8)
+    fl = rebuild_far_list_planes(px, py, alive, s=2, ff=ff, radius=1.5,
+                                 vx=vx, vy=vy, dt=1 / 64)
+    assert int(fl.n_pairs) > 0
+    ref = far_collision_terms(px, py, vx, vy, alive, fl, s=2, ff=ff,
+                              radius=1.5, dt=1 / 64, ecoeff=0.75,
+                              friction=0.1, world_h=h)
+    tab = mirror_table(
+        jnp.stack([px, py, vx, vy, alive.astype(jnp.float32)]))
+    dtab = far_terms_from_mirror(tab, fl, s=2, ff=ff, radius=1.5,
+                                 dt=1 / 64, ecoeff=0.75, friction=0.1,
+                                 w=w, h=h)
+    got = unmirror_table(dtab, w=w, h=h)
+    for i in range(5):
+        np.testing.assert_allclose(np.asarray(got[i]),
+                                   np.asarray(ref[i]), rtol=0,
+                                   atol=1e-5)
+
+
+def test_bucketed_apply_zero_when_empty():
+    px, py, vx, vy, alive = _fold_planes()
+    w, h = px.shape
+    fl = empty_far_list(w, h, FF)
+    tab = mirror_table(
+        jnp.stack([px, py, vx, vy, alive.astype(jnp.float32)]))
+    out = bucketed_far_delta_planes(tab, fl, s=2, ff=FF, radius=1.5,
+                                    dt=1 / 64, ecoeff=0.75, friction=0.1,
+                                    w=w, h=h, buckets=(16,))
+    assert float(jnp.abs(out).max()) == 0.0
+
+
+def test_v4_frame_matches_v2_auto_on_fold():
+    """Two frames of the folded strip: the v4 fixed-cadence frame must
+    reproduce the v2 trigger-based auto frame's physics — with cadence =
+    1 frame both paths rebuild from the same states, so candidate lists
+    cover the same interacting pairs and forces agree to f32 sum order."""
+    ls = hairpin()
+    w, h = ls.shape
+    spec = LatticeSpec(w, h, collision_stencil=2)
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+    outs = {}
+    for name in ("v2", "v4"):
+        hot, obs, immut, ec = pack_lattice2(ls, tile_w=8)
+        st = None
+        if name == "v2":
+            fl = empty_far_list(hot.shape[1], hot.shape[2], FF)
+            for _ in range(2):
+                hot, obs, fl, st = fused_frame2_auto(
+                    hot, obs, immut, ec, fl, consts, uin, spec, CFG,
+                    FF, tile_w=8, interpret=True)
+            st = np.asarray(st)
+        else:
+            for _ in range(2):
+                hot, obs, st = fused_frame4(
+                    hot, obs, immut, ec, consts, uin, spec, CFG, FF,
+                    tile_w=8, interpret=True, buckets=(16,))
+            st = np.asarray(st)
+        got = unpack_lattice2(hot, obs, ls)
+        outs[name] = (np.asarray(got.pos), np.asarray(got.vel), st)
+    assert np.isfinite(outs["v4"][0]).all()
+    assert outs["v4"][2][0] == 1, "one rebuild per cadence block"
+    assert outs["v4"][2][1] > 0, "v4 found no far pairs on the fold"
+    assert outs["v4"][2][2] == 0, "capacity must not overflow here"
+    np.testing.assert_allclose(outs["v4"][0], outs["v2"][0],
+                               rtol=0, atol=5e-3)
+    np.testing.assert_allclose(outs["v4"][1], outs["v2"][1],
+                               rtol=0, atol=5e-2)
+
+
+def test_v4_flat_cloth_no_pairs():
+    """A flat falling cloth must produce zero candidate pairs (annulus
+    and tiles see no index-distant proximity) and still step finitely."""
+    from softbody_tpu.models import cloth_lattice
+
+    ls, spec, cfg0 = cloth_lattice(w=32, h=24, spacing=12.0)
+    cfg = dataclasses.replace(cfg0, subticks=8, particle_radius=4.0)
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+    hot, obs, immut, ec = pack_lattice2(ls, tile_w=8)
+    ffl = FarFieldSpec(max_pairs=64, max_tile_pairs=32, skin=4.0,
+                       horizon=4)
+    hot, obs, st = fused_frame4(hot, obs, immut, ec, consts, uin, spec,
+                                cfg, ffl, tile_w=8, interpret=True,
+                                buckets=(16,))
+    st = np.asarray(st)
+    got = unpack_lattice2(hot, obs, ls)
+    assert np.isfinite(np.asarray(got.pos)).all()
+    assert st[0] == 2, "8 substeps at cadence 4 = 2 rebuilds"
+    assert st[1] == 0, f"flat cloth produced far pairs: {st}"
