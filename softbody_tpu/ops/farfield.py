@@ -141,6 +141,12 @@ class FarFieldSpec:
     # the trigger (covers in-substep impulses changing the velocity).
     horizon: int = 16
     speed_safety: float = 2.0
+    # cap on hit-CHUNK strip rows in the rebuild compaction (the sort
+    # cost driver: strips are [rows, n_offsets] and ``_nz`` sorts the
+    # whole strip — [32768, 108] costs ~2 ms where [4096, 108] costs
+    # 0.14 ms, probe_r4).  Overflow accounting stays exact: dropped
+    # rows' pairs land in ``overflow`` via the total-minus-taken count.
+    max_hit_chunks: int = 4096
 
     @property
     def tile(self) -> int:
@@ -754,27 +760,33 @@ def rebuild_far_list_from_chunks(
     # dim lowers near-serially on TPU (measured: the former
     # ``stack[:, h_idx]`` dominated the 80 ms rebuild).
     k2 = ff.max_pairs
+    # hit-chunk strip row cap — the _nz sort cost driver (strips are
+    # [rows, n_off]; see FarFieldSpec.max_hit_chunks)
+    mc = min(ff.max_hit_chunks, k2)
 
     def strip_extract(rows, h_idx, offs_arr, total):
-        """rows [k2, n_off] bool (already masked) → (ca, cb, valid, n,
-        overflow).  Entry (r, o): pair (h_idx[r], h_idx[r] + offset o)."""
+        """rows [mc, n_off] bool (already masked) → (ca, cb, valid, n,
+        overflow).  Entry (r, o): pair (h_idx[r], h_idx[r] + offset o).
+        Output length is min(k2, rows.size) — sources are concatenated
+        and re-compacted to k2 by the caller."""
         n_off = rows.shape[1]
-        e_flat = _nz(rows, k2)
+        kk = min(k2, rows.size)
+        e_flat = _nz(rows, kk)
         e_r = e_flat // n_off
         e_o = e_flat % n_off
-        n = jnp.minimum(jnp.sum(rows.astype(jnp.int32)), k2)
+        n = jnp.minimum(jnp.sum(rows.astype(jnp.int32)), kk)
         hx_ = h_idx[e_r] // cwy
         hy_ = h_idx[e_r] % cwy
         ca = hx_ * cwy + hy_
         cb = (hx_ + offs_arr[e_o, 0]) * cwy + (hy_ + offs_arr[e_o, 1])
-        valid = jnp.arange(k2) < n
+        valid = jnp.arange(kk) < n
         return ca, cb, valid, n, total - n
 
     # band: [5, cwx, cwy] — tiny; five flat row gathers make the strip
     band_any = jnp.any(band_stack, axis=0)
     b_nchunks = jnp.sum(band_any.astype(jnp.int32))
-    b_idx = _nz(band_any, k2)
-    b_ok = jnp.arange(k2) < jnp.minimum(b_nchunks, k2)
+    b_idx = _nz(band_any, mc)
+    b_ok = jnp.arange(mc) < jnp.minimum(b_nchunks, mc)
     b_rows = jnp.stack(
         [band_stack[i].reshape(-1)[b_idx] for i in range(band_stack.shape[0])],
         axis=1,
@@ -790,16 +802,16 @@ def rebuild_far_list_from_chunks(
     n_off_a = len(ann_offsets)
     n_words = ann_words.shape[0]
     a_nchunks = jnp.sum(ann_any.astype(jnp.int32))
-    a_idx = _nz(ann_any, k2)
-    a_ok = jnp.arange(k2) < jnp.minimum(a_nchunks, k2)
+    a_idx = _nz(ann_any, mc)
+    a_ok = jnp.arange(mc) < jnp.minimum(a_nchunks, mc)
     words = jnp.stack(
         [ann_words[i].reshape(-1)[a_idx] for i in range(n_words)], axis=1
-    )  # [k2, n_words]
+    )  # [mc, n_words]
     bits = (
         (words[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)[None, None, :])
         & jnp.uint32(1)
-    ).reshape(k2, n_words * 32)[:, :n_off_a]
-    a_rows = (bits > 0) & a_ok[:, None]  # [k2, n_off_a]
+    ).reshape(mc, n_words * 32)[:, :n_off_a]
+    a_rows = (bits > 0) & a_ok[:, None]  # [mc, n_off_a]
     ann_ca, ann_cb, ann_valid, a_n, a_over = strip_extract(
         a_rows, a_idx, jnp.asarray(ann_offsets, jnp.int32),
         jnp.sum(ann_count),
@@ -811,19 +823,21 @@ def rebuild_far_list_from_chunks(
     k1, tcc = ref_ov.shape[0], ref_ov.shape[1]
     any_j = jnp.any(ref_ov, axis=2)  # [k1, tc*tc]
     p_i_n = jnp.sum(any_j.astype(jnp.int32))
-    ri_flat = _nz(any_j, k2)
+    mcf = min(mc, k1 * tcc)
+    ri_flat = _nz(any_j, mcf)
     r_p = ri_flat // tcc
     r_i = ri_flat % tcc
-    row_ok = jnp.arange(k2) < jnp.minimum(p_i_n, k2)
-    jrows = ref_ov[r_p, r_i, :] & row_ok[:, None]  # [k2, tc*tc]
+    row_ok = jnp.arange(mcf) < jnp.minimum(p_i_n, mcf)
+    jrows = ref_ov[r_p, r_i, :] & row_ok[:, None]  # [mcf, tc*tc]
     f_total = jnp.sum(ref_ov.astype(jnp.int32))
-    ej_flat = _nz(jrows, k2)
+    kkf = min(k2, mcf * tcc)
+    ej_flat = _nz(jrows, kkf)
     e_r2 = ej_flat // tcc
     f_j = ej_flat % tcc
-    f_n = jnp.minimum(jnp.sum(jrows.astype(jnp.int32)), k2)
+    f_n = jnp.minimum(jnp.sum(jrows.astype(jnp.int32)), kkf)
     far_ca = ca_ids[r_p[e_r2], r_i[e_r2]]
     far_cb = cb_ids[r_p[e_r2], f_j]
-    far_valid = jnp.arange(k2) < f_n
+    far_valid = jnp.arange(kkf) < f_n
     f_over = f_total - f_n
 
     ca = jnp.concatenate([band_ca, ann_ca, far_ca])
@@ -833,9 +847,16 @@ def rebuild_far_list_from_chunks(
     lo = jnp.minimum(ca, cb)
     hi = jnp.maximum(ca, cb)
 
-    # pack valid entries first, crop to capacity
+    # pack valid entries first, then crop/pad to exactly capacity k2
+    # (strip caps can make the concat shorter than k2; carried FarLists
+    # must keep a static [k2] shape across scan/cond boundaries)
     order = jnp.argsort(~valid, stable=True)
     lo, hi, valid = lo[order][:k2], hi[order][:k2], valid[order][:k2]
+    short = k2 - lo.shape[0]
+    if short > 0:
+        lo = jnp.pad(lo, (0, short))
+        hi = jnp.pad(hi, (0, short))
+        valid = jnp.pad(valid, (0, short))
     total = b_n + a_n + f_n
     n_pairs = jnp.minimum(total, k2)
     overflow = (

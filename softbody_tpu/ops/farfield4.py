@@ -1,47 +1,38 @@
 """Far-field v4: fixed-cadence rebuilds + mirror-table pair apply.
 
-Round-3 redesign of the far-field *schedule* and *apply* around three
-measured facts (scripts/probe_r4*.py, TPU v5e at 1M):
+Round-3 redesign of the far-field *schedule* and *apply* around measured
+facts (scripts/probe_r4*.py, probe_v4g.py — TPU v5e at 1M):
 
 1. **Row gathers/scatters on an interleaved table are nearly free**
-   (0.21 ms for 32k 80-wide row gathers; 0.33 ms for 16k row
-   scatter-adds), while the round-2 apply's windowed element
-   gather/scatter costs 2-12 ms at the same load.
-2. **The [5, W, H] → chunk-record relayout is granularity-bound** in
-   XLA: 2.2 ms at 4-lane granularity but **0.33 ms at (1, 32)** — one
-   plane row × 32 lanes per record block.
-3. **The per-particle deviation trigger re-fires every substep at a
-   tear front** (64/64 rebuilds, probe_fixed section I): any global
-   deviation metric is structurally wrong in contact zones, where
-   resolver impulses perturb velocities every substep.
+   (0.2-0.35 ms for 8-32k wide rows), while the round-2 apply's
+   windowed element gather/scatter costs 2-12 ms at the same load.
+2. **The [5, W, H] → record relayout is granularity-bound** in XLA:
+   2.2 ms at 4-lane granularity, 0.33-0.52 ms at 32-lane granularity.
+3. **Small-granularity transposes must not appear per-pair**: the first
+   mirror draft's 8-offset select used a (…, 5, 4, 4) transpose and
+   cost 2.1 ms at K=4096 (probe_v4g) — the select here is per-field
+   slice+reshape only.
+4. **The per-particle deviation trigger re-fires every substep at a
+   tear front** (probe_fixed: 64/64 rebuilds): any global deviation
+   metric is structurally wrong in contact zones, so v4 rebuilds on a
+   fixed cadence instead (the Verlet-list contract: extrusion covers
+   ``cadence`` substeps of motion; soundness = speed-bound assumption).
 
-So v4:
+Layout: **(4, 32) records, b-major**.  Record row ``b·(W/4) + cx``
+holds plane rows ``4cx..4cx+3``, lanes ``[32b, 32b+32)``, as
+``[5 fields × 4 rows × 32 lanes]`` = 640 floats.  A (4, 4) candidate
+chunk's window always sits in ONE record (4·cy mod 32 ∈ {0,4,…,28}), so
+the apply is: one row gather per pair side → one of EIGHT static lane
+offsets per field (dense masked selects) → the round-2 pair math
+(``ops.farfield.far_pair_contributions``, exact compute.wgsl:150-168
+semantics) → inverse placement → one row scatter-add.  B-major row
+order makes a fused-kernel producer possible later (each kernel x-slab
+writes contiguous row runs per lane block).
 
-- **mirror tables** ``[Cm, 160]`` at (1, 32) granularity (5 fields ×
-  32 lanes: ``px py vx vy alive``), rebuilt per substep by a pure-XLA
-  relayout (measured 0.33 ms each way);
-- **pairs stay (4, 4) chunks** (pair-test economics: a 4×4 window pair
-  is 256 tests; detection, annulus, tiles, and compaction are the
-  round-2 machinery in ops/farfield.py, unchanged);  the granularity
-  bridge: a 4×4 window's 4 lanes always sit inside ONE 32-lane mirror
-  block (4·cy mod 32 ∈ {0,4,…,28}), so the apply gathers 4 mirror rows
-  per side and selects one of EIGHT static lane offsets — dense masked
-  selects, no dynamic slicing;
-- **no trigger**: the frame rebuilds the candidate list every
-  ``cadence`` substeps unconditionally (lax.scan over
-  [rebuild → cadence × substep] blocks), with the detection's
-  velocity extrusion covering ``cadence`` substeps of motion plus an
-  isotropic safety term for impulse-induced velocity changes.  This is
-  the standard Verlet-list contract (soundness = speed-bound
-  assumption, stated in FarFieldSpec): no per-substep trigger cost, no
-  lax.cond graph duplication, and rebuild cost is amortized by
-  construction instead of hoped-for.
-
-Reference semantics anchor: the pair math itself is
-``ops.farfield.far_pair_contributions`` — the exact compute.wgsl:150-168
-impulse/friction/declip terms — applied antisymmetrically per unordered
-pair, every substep, like the reference's O(N²) loop
-(/root/reference/src/shaders/compute.wgsl:144-170).
+Reference anchor: these mirrors stand in for the WebGPU storage buffer
+the reference's O(N²) loop reads particles from directly
+(/root/reference/src/shaders/compute.wgsl:144-170) — same data, shaped
+for the TPU's (8,128) memory system instead of GPU warps.
 """
 
 from __future__ import annotations
@@ -62,35 +53,36 @@ from .farfield import (
     far_pair_contributions,
 )
 
-MB = 32          # mirror block: lanes per (1, 32) record block
+MB = 32          # lanes per record block
+RX = 4           # plane rows per record (== FarFieldSpec.chunk)
 NF = 5           # px py vx vy alive
-REC = NF * MB    # 160 floats per mirror row
+REC = NF * RX * MB   # 640 floats per record row
 
 
 def _mh(h: int) -> int:
-    """Mirror lane dimension: h rounded up to a 32-lane multiple."""
     return -(-h // MB) * MB
 
 
 def mirror_table(planes: jax.Array) -> jax.Array:
-    """``[5, W, H]`` (px, py, vx, vy, alive) → ``[W·(Hm/32), 160]``
-    mirror table; row ``x·(Hm/32) + b`` holds plane row ``x``, lanes
-    ``[32b, 32b+32)``, fields interleaved per block.  Pure XLA — the
-    (…, 32)-granular transpose runs at ~0.33 ms for 1M (probe_r4c)."""
+    """``[5, W, H]`` (px, py, vx, vy, alive) → ``[(Hm/32)·(W/4), 640]``
+    record table, b-major (row = b·(W/4) + cx)."""
     five, w, h = planes.shape
     hm = _mh(h)
     if hm != h:
         planes = jnp.pad(planes, ((0, 0), (0, 0), (0, hm - h)))
     nb = hm // MB
-    t = planes.reshape(NF, w, nb, MB).transpose(1, 2, 0, 3)
-    return t.reshape(w * nb, REC)
+    cw = w // RX
+    # (f, cx, ix, b, iy) → (b, cx, f, ix, iy)
+    t = planes.reshape(NF, cw, RX, nb, MB).transpose(3, 1, 0, 2, 4)
+    return t.reshape(nb * cw, REC)
 
 
 def unmirror_table(table: jax.Array, *, w: int, h: int) -> jax.Array:
     """Inverse of :func:`mirror_table` (delta tables → delta planes)."""
     hm = _mh(h)
     nb = hm // MB
-    t = table.reshape(w, nb, NF, MB).transpose(2, 0, 1, 3)
+    cw = w // RX
+    t = table.reshape(nb, cw, NF, RX, MB).transpose(2, 1, 3, 0, 4)
     planes = t.reshape(NF, w, hm)
     return planes[:, :, :h]
 
@@ -108,69 +100,63 @@ def far_terms_from_mirror(
     w: int,
     h: int,
 ):
-    """Pair apply against a mirror table: returns a ``[Cm, 160]`` DELTA
-    table (fields ``dvx dvy dax day dyn`` in the mirror block layout).
-
-    Pipeline (all dense / row-granular — measured costs at 1M in the
-    docstring above): gather 4 mirror rows per pair side → static
-    8-offset lane select → :func:`~.farfield.far_pair_contributions`
-    (unchanged round-2 pair math) → inverse placement → one row
-    scatter-add."""
+    """Pair apply against a (4,32)-record mirror: returns a
+    ``[Cm, 640]`` DELTA table (``dvx dvy dax day dyn`` in the record
+    layout).  One gathered row per pair side; per-field offset selects
+    (slice+reshape only — no small-granularity transpose)."""
     c = ff.chunk
-    assert c == 4, "v4 mirror bridge assumes 4x4 chunks"
+    assert c == RX, "v4 mirror assumes 4x4 chunks"
     cc = c * c
     k = fl.capacity
     hm = _mh(h)
     nb = hm // MB
+    cw = w // RX
     cwy = h // c                      # 4x4 chunk grid minor dim
 
     ids = jnp.concatenate([fl.ca, fl.cb])          # [2k] 4x4 chunk ids
     cx = ids // cwy
     cy = ids % cwy
-    lane0 = cy * c                                  # 0..h-4
-    blk = lane0 // MB                               # mirror block
+    lane0 = cy * c
+    blk = lane0 // MB
     off = lane0 % MB                                # ∈ {0,4,...,28}
 
-    # ---- gather: 4 mirror rows per side ----
-    rows = (cx[:, None] * c + jnp.arange(c, dtype=jnp.int32)[None, :])
-    row_ids = rows * nb + blk[:, None]              # [2k, 4]
-    gathered = table[row_ids.reshape(-1)].reshape(-1, c, REC)  # [2k,4,160]
-
-    # ---- static 8-offset lane select → window g [2k, 5*cc] ----
-    # variant o: lanes [o, o+4) of each 32-block, all 5 fields
+    row_ids = blk * cw + cx                         # [2k] — ONE row/side
+    gathered = table[row_ids]                       # [2k, 640]
     n2k = ids.shape[0]
-    sel = jnp.zeros((n2k, NF, c, c), jnp.float32)
-    for o in range(0, MB, c):
-        # [2k, 4(ix), 5, 4(iy)] → [2k, 5, 4, 4]
-        v = gathered.reshape(n2k, c, NF, MB)[:, :, :, o : o + c]
-        v = v.transpose(0, 2, 1, 3)
-        sel = sel + jnp.where((off == o)[:, None, None, None], v, 0.0)
-    g = sel.reshape(n2k, NF * cc)
+    g4 = gathered.reshape(n2k, NF, RX, MB)
+
+    # ---- per-field static 8-offset select → g fields [2k, cc] each ----
+    fields = []
+    for f in range(NF):
+        acc = jnp.zeros((n2k, cc), jnp.float32)
+        for o in range(0, MB, c):
+            v = g4[:, f, :, o : o + c].reshape(n2k, cc)
+            acc = acc + jnp.where((off == o)[:, None], v, 0.0)
+        fields.append(acc)
+    g = jnp.concatenate(fields, axis=1)             # [2k, 5*cc]
 
     contrib = far_pair_contributions(
         g, fl, cx, cy, s=s, ff=ff, radius=radius, dt=dt,
         ecoeff=ecoeff, friction=friction, world_h=hm,
     )                                               # [2k, 5, cc]
 
-    # ---- inverse placement: [2k, 5, 4, 4] → [2k, 4, 160] rows ----
-    cb = contrib.reshape(n2k, NF, c, c).transpose(0, 2, 1, 3)
-    # pad iy (4) → MB (32) at each offset variant, masked-summed
-    drows = jnp.zeros((n2k, c, NF, MB), jnp.float32)
+    # ---- inverse placement: [2k, 5, cc] → [2k, 640] rows ----
+    cb4 = contrib.reshape(n2k, NF, c, c)
+    drows = jnp.zeros((n2k, NF, RX, MB), jnp.float32)
     for o in range(0, MB, c):
-        placed = jnp.pad(cb, ((0, 0), (0, 0), (0, 0), (o, MB - c - o)))
-        drows = drows + jnp.where(
-            (off == o)[:, None, None, None], placed, 0.0
-        )
-    drows = drows.reshape(n2k, c, REC)
+        placed = jnp.pad(cb4, ((0, 0), (0, 0), (0, 0),
+                               (o, MB - c - o)))
+        drows = drows + jnp.where((off == o)[:, None, None, None],
+                                  placed, 0.0)
 
     cm = table.shape[0]
     dtab = jnp.zeros((cm, REC), jnp.float32)
-    dtab = dtab.at[row_ids.reshape(-1)].add(drows.reshape(-1, REC))
+    dtab = dtab.at[row_ids].add(drows.reshape(n2k, REC))
     return dtab
 
 
 def bucketed_far_delta_planes(
-    table: jax.Array,
+    planes5: jax.Array,
     fl: FarList,
     *,
     s: int,
@@ -185,12 +171,15 @@ def bucketed_far_delta_planes(
 ):
     """Bucketed apply: crop the pair list to the smallest capacity
     bucket ≥ n_pairs so light frames don't pay full-capacity cost;
-    returns dense delta planes ``[5, w, h]`` (zero when no pairs)."""
+    returns dense delta planes ``[5, w, h]`` (zero when no pairs).
+    Takes the raw ``[5, w, h]`` field planes — the mirror relayout runs
+    INSIDE the non-empty branches, so a pair-free frame pays nothing."""
     all_buckets = tuple(b for b in buckets if b < ff.max_pairs) + (
         ff.max_pairs,
     )
 
     def apply_k(k, _):
+        table = mirror_table(planes5)
         flk = crop_far_list(fl, k)
         dtab = far_terms_from_mirror(
             table, flk, s=s, ff=ff, radius=radius, dt=dt,

@@ -1368,42 +1368,55 @@ def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
     (rebuilds, max n_pairs, max overflow) over the frame.
     """
     from ..farfield import rebuild_far_list_planes
-    from ..farfield4 import bucketed_far_delta_planes, mirror_table
+    from ..farfield4 import bucketed_far_delta_planes
 
     ff = ffspec
     w, h = padded_dims(spec.width, spec.height, tile_w)
-    wp_, hp_ = hot.shape[1], hot.shape[2]
     cvec = jnp.concatenate(
         [_consts_vector(consts, uin, cfg, spec.height), edge_consts]
     )
     quantized = cfg.force_mode == "quantized"
     stencil = 0 if cfg.collision_mode == "none" else spec.collision_stencil
     alive_plane = immut[ALIVE] > 0.0
-    alive_f = alive_plane.astype(jnp.float32)
+
+    # all far machinery runs on the UNPADDED interior [w, h] (the hot
+    # stack's pad rings are alive=0 everywhere — slicing them off cuts
+    # the mirror/pool/band work ~25% at 1M)
+    def interior(plane):
+        return jax.lax.slice(plane, (PAD_W, PAD_H),
+                             (PAD_W + w, PAD_H + h))
+
+    alive_int = interior(alive_plane)
+    alive_int_f = alive_int.astype(jnp.float32)
     kw = dict(w=w, h=h, stencil=stencil, quantized=quantized,
               tile_w=tile_w, interpret=interpret)
     n = cfg.subticks if n_sub is None else n_sub
-    R = ff.horizon
-    if n % R:
-        raise ValueError(f"cadence {R} must divide substep count {n}")
+    # cadence: full blocks of R substeps + one remainder block (so any
+    # horizon works with any substep count; the remainder block still
+    # rebuilds, keeping list staleness ≤ R everywhere)
+    R = min(ff.horizon, n)
     n_outer = n // R
+    rem = n % R
 
     def rebuild(m):
         return rebuild_far_list_planes(
-            m[PX], m[PY], alive_plane, s=spec.collision_stencil, ff=ff,
-            radius=cfg.particle_radius, vx=m[VX], vy=m[VY], dt=cfg.dt,
+            interior(m[PX]), interior(m[PY]), alive_int,
+            s=spec.collision_stencil, ff=ff,
+            radius=cfg.particle_radius, vx=interior(m[VX]),
+            vy=interior(m[VY]), dt=cfg.dt,
         )
 
     def substep(m, fl, obs_in=None):
-        table = mirror_table(
-            jnp.stack([m[PX], m[PY], m[VX], m[VY], alive_f])
-        )
-        far = bucketed_far_delta_planes(
-            table, fl, s=spec.collision_stencil, ff=ff,
+        planes5 = jnp.stack([interior(m[PX]), interior(m[PY]),
+                             interior(m[VX]), interior(m[VY]),
+                             alive_int_f])
+        far_int = bucketed_far_delta_planes(
+            planes5, fl, s=spec.collision_stencil, ff=ff,
             radius=cfg.particle_radius, dt=cfg.dt,
             ecoeff=(consts.elasticity + 1.0) * 0.5,
-            friction=consts.friction, w=wp_, h=hp_, buckets=buckets,
+            friction=consts.friction, w=w, h=h, buckets=buckets,
         )
+        far = jnp.pad(far_int, ((0, 0), (PAD_W, PAD_W), (PAD_H, PAD_H)))
         return fused_substep2_call(m, immut, cvec, far=far,
                                    obs_in=obs_in, **kw)
 
@@ -1428,27 +1441,36 @@ def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
         ])
         return (m, st_), None
 
+    def merge_st(st_, fl):
+        return jnp.stack([
+            st_[0] + 1,
+            jnp.maximum(st_[1], fl.n_pairs),
+            jnp.maximum(st_[2], fl.overflow),
+        ])
+
     if not observe:
         (hot, st), _ = jax.lax.scan(outer, (hot, st), None,
                                     length=n_outer)
+        if rem:
+            hot, fl = block(hot, rem)
+            st = merge_st(st, fl)
         return _zero_pads(hot, spec, tile_w), obs, st
 
-    if n_outer > 1:
+    # last block (remainder size, or a full R) ends with the observing
+    # substep; everything before it runs through the outer scan
+    last = rem if rem else R
+    n_full_before = n_outer if rem else n_outer - 1
+    if n_full_before > 0:
         (hot, st), _ = jax.lax.scan(outer, (hot, st), None,
-                                    length=n_outer - 1)
-    # final block: R−1 hot substeps + 1 observing substep on the same
-    # (freshly rebuilt) list
+                                    length=n_full_before)
     fl = rebuild(hot)
 
     def inner(mm, _):
         return substep(mm, fl), None
 
-    hot, _ = jax.lax.scan(inner, hot, None, length=R - 1)
+    if last > 1:
+        hot, _ = jax.lax.scan(inner, hot, None, length=last - 1)
     hot, obs = substep(hot, fl, obs_in=obs)
-    st = jnp.stack([
-        st[0] + 1,
-        jnp.maximum(st[1], fl.n_pairs),
-        jnp.maximum(st[2], fl.overflow),
-    ])
+    st = merge_st(st, fl)
     return (_zero_pads(hot, spec, tile_w), _zero_pads(obs, spec, tile_w),
             st)

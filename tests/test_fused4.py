@@ -57,7 +57,7 @@ def test_mirror_roundtrip():
     rng = np.random.default_rng(0)
     planes = jnp.asarray(rng.normal(size=(5, 24, 40)).astype(np.float32))
     tab = mirror_table(planes)
-    assert tab.shape == (24 * 2, 160)  # 40 → 64 lanes → 2 blocks
+    assert tab.shape == (2 * 6, 640)  # 2 lane blocks × 6 record columns
     back = unmirror_table(tab, w=24, h=40)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(planes))
 
@@ -93,9 +93,8 @@ def test_bucketed_apply_zero_when_empty():
     px, py, vx, vy, alive = _fold_planes()
     w, h = px.shape
     fl = empty_far_list(w, h, FF)
-    tab = mirror_table(
-        jnp.stack([px, py, vx, vy, alive.astype(jnp.float32)]))
-    out = bucketed_far_delta_planes(tab, fl, s=2, ff=FF, radius=1.5,
+    planes5 = jnp.stack([px, py, vx, vy, alive.astype(jnp.float32)])
+    out = bucketed_far_delta_planes(planes5, fl, s=2, ff=FF, radius=1.5,
                                     dt=1 / 64, ecoeff=0.75, friction=0.1,
                                     w=w, h=h, buckets=(16,))
     assert float(jnp.abs(out).max()) == 0.0
