@@ -42,7 +42,7 @@ def main() -> int:
     far_enabled = os.environ.get("BENCH_FARFIELD", "1") != "0"
     far_mode = os.environ.get("BENCH_FAR_MODE", "v4")
     far_k = int(os.environ.get("BENCH_FAR_K",
-                               32768 if far_mode == "v4" else 512))
+                               16384 if far_mode == "v4" else 512))
     far_cadence = int(os.environ.get("BENCH_FAR_CADENCE", 8))
     far_skin = float(os.environ.get("BENCH_FAR_SKIN", 0.75))
     fall_speed = float(os.environ.get("BENCH_FALL_SPEED", 2.5))

@@ -50,6 +50,64 @@ def main() -> int:
     _ = sync(state)
 
     for mode in modes:
+        if mode == "planified":
+            # the TPU-native general-topology route (ops/planify.py):
+            # spatially embed the arbitrary graph onto the dense stencil
+            # path; beams bit-exact vs flat (quantized), collisions via
+            # the dense index-space stencil + far-field for fold contacts
+            from softbody_tpu.ops.planify import planified_frame, planify
+
+            t0 = time.time()
+            ps, pspec, aux = planify(state, collision_stencil=3)
+            print(f"[planified] embed {time.time() - t0:.1f}s: plane "
+                  f"{pspec.width}x{pspec.height}, "
+                  f"{len(pspec.edge_offsets)} offset classes, "
+                  f"{aux.n_exceptions} exception beams", flush=True)
+            # the dense path does index-stencil collisions whenever the
+            # mode isn't "none" (lattice_substep → _stencil_collisions)
+            cfg = dataclasses.replace(cfg0, collision_mode="allpairs")
+            t0 = time.time()
+            ps = planified_frame(ps, consts, uin, pspec, cfg)
+            _ = jax.device_get(ps.lat.pos[0, 0])
+            print(f"[planified] compile+first {time.time() - t0:.1f}s",
+                  flush=True)
+            frames = 8
+            t0 = time.time()
+            for _ in range(frames):
+                ps = planified_frame(ps, consts, uin, pspec, cfg)
+            _ = jax.device_get(ps.lat.pos[0, 0])
+            el = time.time() - t0
+            sps = frames * cfg.subticks / el
+            print(f"[planified] {frames} frames in {el:.2f}s -> "
+                  f"{sps:.1f} substeps/s "
+                  f"({sps * n:.3g} particle-substeps/s)", flush=True)
+            continue
+        if mode == "directed":
+            from softbody_tpu.ops.directed import (
+                build_directed, directed_frame,
+            )
+
+            t0 = time.time()
+            ds, _se = build_directed(state)
+            print(f"[directed] build {time.time() - t0:.1f}s: D="
+                  f"{ds.degree}", flush=True)
+            cfg = dataclasses.replace(cfg0, collision_mode="window")
+            t0 = time.time()
+            ds = directed_frame(ds, consts, uin, cfg)
+            _ = jax.device_get(ds.pos[0, 0])
+            print(f"[directed] compile+first {time.time() - t0:.1f}s",
+                  flush=True)
+            frames = 4
+            t0 = time.time()
+            for _ in range(frames):
+                ds = directed_frame(ds, consts, uin, cfg)
+            _ = jax.device_get(ds.pos[0, 0])
+            el = time.time() - t0
+            sps = frames * cfg.subticks / el
+            print(f"[directed] {frames} frames in {el:.2f}s -> "
+                  f"{sps:.1f} substeps/s "
+                  f"({sps * n:.3g} particle-substeps/s)", flush=True)
+            continue
         cfg = dataclasses.replace(cfg0, collision_mode=mode)
         step = jax.jit(lambda s, _cfg=cfg: frame(s, consts, uin, _cfg))
         t0 = time.time()

@@ -156,7 +156,8 @@ def far_terms_from_mirror(
 
 
 def bucketed_far_delta_planes(
-    planes5: jax.Array,
+    hot: jax.Array,
+    alive_f: jax.Array,
     fl: FarList,
     *,
     s: int,
@@ -167,24 +168,41 @@ def bucketed_far_delta_planes(
     friction,
     w: int,
     h: int,
+    plane_idx: Tuple[int, int, int, int] = (0, 1, 2, 3),
+    pad: Tuple[int, int] = (0, 0),
     buckets: Tuple[int, ...] = (1024, 4096),
 ):
     """Bucketed apply: crop the pair list to the smallest capacity
     bucket ≥ n_pairs so light frames don't pay full-capacity cost;
     returns dense delta planes ``[5, w, h]`` (zero when no pairs).
-    Takes the raw ``[5, w, h]`` field planes — the mirror relayout runs
-    INSIDE the non-empty branches, so a pair-free frame pays nothing."""
+    Takes the PACKED hot stack (``plane_idx`` = the px/py/vx/vy rows,
+    ``pad`` = the stack's interior offset) plus the interior alive
+    plane — interior slicing, the 20 MB planes5 stack, AND the mirror
+    relayout all run INSIDE the non-empty branches, so a pair-free
+    substep pays nothing at all."""
     all_buckets = tuple(b for b in buckets if b < ff.max_pairs) + (
         ff.max_pairs,
     )
+    ipx, ipy, ivx, ivy = plane_idx
+    pw, ph = pad
 
     def apply_k(k, _):
-        table = mirror_table(planes5)
+        def interior(p):
+            return jax.lax.slice(p, (pw, ph), (pw + w, ph + h))
+
+        planes5 = jnp.stack([
+            interior(hot[ipx]), interior(hot[ipy]),
+            interior(hot[ivx]), interior(hot[ivy]), alive_f,
+        ])
         flk = crop_far_list(fl, k)
-        dtab = far_terms_from_mirror(
-            table, flk, s=s, ff=ff, radius=radius, dt=dt,
-            ecoeff=ecoeff, friction=friction, w=w, h=h,
-        )
+        kwargs = dict(s=s, ff=ff, radius=radius, dt=dt, ecoeff=ecoeff,
+                      friction=friction, w=w, h=h)
+        if k <= 2048:
+            # narrow-row variant: traffic ∝ K (20 rows/side), no
+            # relayout — wins below ~2k pairs (module docstring)
+            return far_delta_planes_narrow(planes5, flk, **kwargs)
+        table = mirror_table(planes5)
+        dtab = far_terms_from_mirror(table, flk, **kwargs)
         return unmirror_table(dtab, w=w, h=h)
 
     bidx = sum(
@@ -197,3 +215,77 @@ def bucketed_far_delta_planes(
     return jax.lax.switch(
         (fl.n_pairs > 0).astype(jnp.int32) * (bidx + 1), branches, None
     )
+
+
+def far_delta_planes_narrow(
+    planes5: jax.Array,
+    fl: FarList,
+    *,
+    s: int,
+    ff: FarFieldSpec,
+    radius,
+    dt,
+    ecoeff,
+    friction,
+    w: int,
+    h: int,
+):
+    """Mirror-free apply variant for SMALL pair buckets: gathers each
+    pair side's window as 20 narrow rows (5 fields × 4 plane rows × 32
+    lanes) straight from a reshaped plane view, and scatter-adds the
+    delta segments back the same way — no relayout at either end.
+
+    Cost model (probe_r4/probe_v4h): narrow-row traffic scales with K
+    (20 rows/side), the mirror path pays a fixed ~0.7 ms
+    relayout+unrelayout — so narrow wins below ~2k pairs and loses
+    above; :func:`bucketed_far_delta_planes` picks per bucket.
+    Returns dense delta planes ``[5, w, h]``."""
+    c = ff.chunk
+    cc = c * c
+    k = fl.capacity
+    hm = _mh(h)
+    nb = hm // MB
+    cwy = h // c
+
+    pv = planes5
+    if hm != h:
+        pv = jnp.pad(pv, ((0, 0), (0, 0), (0, hm - h)))
+    view = pv.reshape(NF * w * nb, MB)
+
+    ids = jnp.concatenate([fl.ca, fl.cb])
+    n2k = ids.shape[0]
+    cx = ids // cwy
+    cy = ids % cwy
+    lane0 = cy * c
+    blk = lane0 // MB
+    off = lane0 % MB
+
+    fidx = jnp.arange(NF, dtype=jnp.int32)[None, :, None]
+    ridx = (cx[:, None, None] * c
+            + jnp.arange(c, dtype=jnp.int32)[None, None, :])
+    rows = (fidx * w + ridx) * nb + blk[:, None, None]   # [2k, 5, 4]
+    seg = view[rows.reshape(-1)].reshape(n2k, NF, c, MB)
+
+    # 8-offset static select → window fields [2k, 5, 4, 4]
+    win = jnp.zeros((n2k, NF, c, c), jnp.float32)
+    for o in range(0, MB, c):
+        v = seg[:, :, :, o : o + c]
+        win = win + jnp.where((off == o)[:, None, None, None], v, 0.0)
+    g = win.reshape(n2k, NF * cc)
+
+    contrib = far_pair_contributions(
+        g, fl, cx, cy, s=s, ff=ff, radius=radius, dt=dt,
+        ecoeff=ecoeff, friction=friction, world_h=hm,
+    )
+
+    cb4 = contrib.reshape(n2k, NF, c, c)
+    dseg = jnp.zeros((n2k, NF, c, MB), jnp.float32)
+    for o in range(0, MB, c):
+        placed = jnp.pad(cb4, ((0, 0), (0, 0), (0, 0),
+                               (o, MB - c - o)))
+        dseg = dseg + jnp.where((off == o)[:, None, None, None],
+                                placed, 0.0)
+
+    out = jnp.zeros((NF * w * nb, MB), jnp.float32)
+    out = out.at[rows.reshape(-1)].add(dseg.reshape(-1, MB))
+    return out.reshape(NF, w, hm)[:, :, :h]

@@ -164,7 +164,8 @@ def _rotation_specs(stencil: int, detect: bool = False):
 
 def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
              quantized: bool, has_far: bool, obs: bool,
-             trig: bool = False, detect: bool = False):
+             trig: bool = False, detect: bool = False,
+             far_interior: bool = False):
     idx = 0
     mut_ref = refs[idx]; idx += 1
     immut_ref = refs[idx]; idx += 1
@@ -218,10 +219,14 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
             iscr2.at[dst_slot], sems.at[2 * dst_slot + 1],
         ).start()
         if has_far:
+            if far_interior:
+                far_src = far_ref.at[:, pl.ds(slab * tile_w, tile_w), :]
+            else:
+                far_src = far_ref.at[
+                    :, pl.ds(PAD_W + slab * tile_w, tile_w),
+                    pl.ds(PAD_H, th)]
             pltpu.make_async_copy(
-                far_ref.at[:, pl.ds(PAD_W + slab * tile_w, tile_w),
-                           pl.ds(PAD_H, th)],
-                fscr2.at[dst_slot], sems.at[4 + dst_slot],
+                far_src, fscr2.at[dst_slot], sems.at[4 + dst_slot],
             ).start()
         if trig:
             pltpu.make_async_copy(
@@ -258,10 +263,13 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
         sems.at[2 * slot + 1],
     ).wait()
     if has_far:
+        if far_interior:
+            far_src0 = far_ref.at[:, pl.ds(i * tile_w, tile_w), :]
+        else:
+            far_src0 = far_ref.at[:, pl.ds(PAD_W + i * tile_w, tile_w),
+                                  pl.ds(PAD_H, th)]
         pltpu.make_async_copy(
-            far_ref.at[:, pl.ds(PAD_W + i * tile_w, tile_w),
-                       pl.ds(PAD_H, th)],
-            fscr2.at[slot], sems.at[4 + slot],
+            far_src0, fscr2.at[slot], sems.at[4 + slot],
         ).wait()
     if trig:
         pltpu.make_async_copy(
@@ -784,9 +792,13 @@ def _zero_pads(stack, spec, tile_w: int):
 def fused_substep2_call(hot, immut, consts_vec, *, w: int, h: int,
                         stencil: int, quantized: bool, tile_w: int = 128,
                         interpret: bool = False, far=None, obs_in=None,
-                        refs=None, detect: bool = False):
+                        refs=None, detect: bool = False,
+                        far_interior: bool = False):
     """One v2/v3 substep.
 
+    ``far_interior``: the ``far`` delta planes are the unpadded interior
+    ``[5, w, h]`` (the v4 frame's shape — saves a 20 MB pad per substep)
+    instead of the hot stack's padded ``[5, Wp, Hp]``.
     ``obs_in``: pass the obs stack to run the observing variant.
     ``refs`` (``[4, Wp, Hp]``: px_ref, py_ref, vx_ref, vy_ref) arms the
     in-kernel far-field trigger — the consts vector must then carry the
@@ -811,7 +823,7 @@ def fused_substep2_call(hot, immut, consts_vec, *, w: int, h: int,
     kernel = functools.partial(
         _kernel2, tile_w=tile_w, world_h=h, stencil=stencil,
         quantized=quantized, has_far=has_far, obs=obs,
-        trig=trig, detect=detect,
+        trig=trig, detect=detect, far_interior=far_interior,
     )
     n_in = 2 + int(has_far) + int(obs) + int(trig)
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] * n_in
@@ -1352,7 +1364,7 @@ def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
                  uin: UserInput, spec, cfg: StaticConfig, ffspec,
                  tile_w: int = 128, interpret: bool = False,
                  n_sub: Optional[int] = None, observe: bool = True,
-                 buckets: Tuple[int, ...] = (1024, 4096)):
+                 buckets: Tuple[int, ...] = (1024, 2048, 4096)):
     """v4 far-field frame: fixed-cadence unconditional rebuilds + the
     mirror-table pair apply (ops/farfield4.py — design and measured
     rationale there).
@@ -1407,18 +1419,17 @@ def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
         )
 
     def substep(m, fl, obs_in=None):
-        planes5 = jnp.stack([interior(m[PX]), interior(m[PY]),
-                             interior(m[VX]), interior(m[VY]),
-                             alive_int_f])
         far_int = bucketed_far_delta_planes(
-            planes5, fl, s=spec.collision_stencil, ff=ff,
+            m, alive_int_f, fl, s=spec.collision_stencil, ff=ff,
             radius=cfg.particle_radius, dt=cfg.dt,
             ecoeff=(consts.elasticity + 1.0) * 0.5,
-            friction=consts.friction, w=w, h=h, buckets=buckets,
+            friction=consts.friction, w=w, h=h,
+            plane_idx=(PX, PY, VX, VY), pad=(PAD_W, PAD_H),
+            buckets=buckets,
         )
-        far = jnp.pad(far_int, ((0, 0), (PAD_W, PAD_W), (PAD_H, PAD_H)))
-        return fused_substep2_call(m, immut, cvec, far=far,
-                                   obs_in=obs_in, **kw)
+        return fused_substep2_call(m, immut, cvec, far=far_int,
+                                   far_interior=True, obs_in=obs_in,
+                                   **kw)
 
     def block(m, n_inner):
         fl = rebuild(m)

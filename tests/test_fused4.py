@@ -93,8 +93,9 @@ def test_bucketed_apply_zero_when_empty():
     px, py, vx, vy, alive = _fold_planes()
     w, h = px.shape
     fl = empty_far_list(w, h, FF)
-    planes5 = jnp.stack([px, py, vx, vy, alive.astype(jnp.float32)])
-    out = bucketed_far_delta_planes(planes5, fl, s=2, ff=FF, radius=1.5,
+    hotlike = jnp.stack([px, py, vx, vy])
+    out = bucketed_far_delta_planes(hotlike, alive.astype(jnp.float32),
+                                    fl, s=2, ff=FF, radius=1.5,
                                     dt=1 / 64, ecoeff=0.75, friction=0.1,
                                     w=w, h=h, buckets=(16,))
     assert float(jnp.abs(out).max()) == 0.0
@@ -157,3 +158,30 @@ def test_v4_flat_cloth_no_pairs():
     assert np.isfinite(np.asarray(got.pos)).all()
     assert st[0] == 2, "8 substeps at cadence 4 = 2 rebuilds"
     assert st[1] == 0, f"flat cloth produced far pairs: {st}"
+
+
+def test_narrow_apply_matches_mirror_apply():
+    """The mirror-free narrow-row apply must reproduce the mirror-table
+    apply (same pair math, different gather/scatter route)."""
+    from softbody_tpu.ops.farfield4 import far_delta_planes_narrow
+
+    px, py, vx, vy, alive = _fold_planes()
+    w, h = px.shape
+    ff = FarFieldSpec(max_pairs=128, max_tile_pairs=32, skin=2.0,
+                      horizon=8)
+    fl = rebuild_far_list_planes(px, py, alive, s=2, ff=ff, radius=1.5,
+                                 vx=vx, vy=vy, dt=1 / 64)
+    assert int(fl.n_pairs) > 0
+    planes5 = jnp.stack([px, py, vx, vy, alive.astype(jnp.float32)])
+    tab = mirror_table(planes5)
+    dtab = far_terms_from_mirror(tab, fl, s=2, ff=ff, radius=1.5,
+                                 dt=1 / 64, ecoeff=0.75, friction=0.1,
+                                 w=w, h=h)
+    ref = unmirror_table(dtab, w=w, h=h)
+    got = far_delta_planes_narrow(planes5, fl, s=2, ff=ff, radius=1.5,
+                                  dt=1 / 64, ecoeff=0.75, friction=0.1,
+                                  w=w, h=h)
+    for i in range(5):
+        np.testing.assert_allclose(np.asarray(got[i]),
+                                   np.asarray(ref[i]), rtol=0,
+                                   atol=1e-5)
