@@ -492,3 +492,75 @@ class FusedLatticeBackend(LatticeBackend):
     def corrupt(self, state, rng: np.random.Generator):
         return self.pack_state(super().corrupt(self.unpack_state(state), rng))
 
+
+
+class PlanifiedBackend(SimBackend):
+    """General-topology engine on the DENSE stencil path: arbitrary beam
+    graphs (editor scenes, blobs, meshes) spatially embedded onto [W, H]
+    planes (ops/planify.py) — the TPU-native route to the reference's
+    uniform any-graph handling (compute.wgsl:96-131) at dense-path
+    speed.  Exception beams (the non-local tail) ride a flat list merged
+    into the same int32 force accumulator, so beam physics stays
+    bit-identical to the flat path under quantized forces.
+
+    State representation: :class:`~softbody_tpu.ops.planify.PlanifiedState`;
+    the embedding (host-side maps) lives on the backend and is rebuilt on
+    pack/load — like the reference's buffer rebuild on SNAPSHOT_LOAD
+    (engineWorker.ts:532-538)."""
+
+    def __init__(self, cfg: StaticConfig,
+                 max_particles: Optional[int] = None,
+                 max_beams: Optional[int] = None,
+                 collision_stencil: int = 3) -> None:
+        super().__init__(cfg, max_particles, max_beams)
+        self.collision_stencil = collision_stencil
+        self._spec = None
+        self._aux = None
+        self._template = None
+
+    def pack_state(self, state: SimState):
+        from ..ops.planify import planify
+
+        ps, spec, aux = planify(state,
+                                collision_stencil=self.collision_stencil)
+        self._spec = spec
+        self._aux = aux
+        self._template = state
+        return ps
+
+    def unpack_state(self, ps) -> SimState:
+        from ..ops.planify import unplanify
+
+        return unplanify(ps, self._template, self._aux)
+
+    def step(self, ps, consts, uin):
+        from ..ops.planify import planified_frame
+
+        return planified_frame(ps, consts, uin, self._spec, self.cfg)
+
+    def extract(self, ps):
+        return _sim_extract(self.unpack_state(ps))
+
+    def save(self, ps, consts) -> bytes:
+        return save_snapshot(self.unpack_state(ps), consts)
+
+    def load(self, buf: bytes):
+        got = super().load(buf)
+        if got is None:
+            return None
+        state, consts = got
+        return self.pack_state(state), consts
+
+    def counts(self, ps) -> Tuple[int, int]:
+        return (
+            int(np.asarray(ps.lat.alive).sum()),
+            int(np.asarray(
+                jnp.concatenate([e.alive.reshape(-1) for e in ps.lat.edges]
+                                + [ps.x.alive])).sum()),
+        )
+
+    def corrupt(self, ps, rng: np.random.Generator):
+        # corrupt through the flat representation (reference byte-level
+        # semantics, engineWorker.ts:599-617), then re-embed
+        flat = super().corrupt(self.unpack_state(ps), rng)
+        return self.pack_state(flat)
