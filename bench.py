@@ -101,8 +101,9 @@ def main() -> int:
             f"(K={far_k}, skin={ff.skin if ff else 0:.2f}, "
             f"cadence/horizon={ff.horizon if ff else 0}) "
             f"(built in {time.time() - t0:.1f}s)")
-        backend = FusedLatticeBackend(spec, cfg, farfield=ff, tile_w=64,
-                                      far_mode=far_mode)
+        tile_w = int(os.environ.get("BENCH_TILE_W", 64))
+        backend = FusedLatticeBackend(spec, cfg, farfield=ff,
+                                      tile_w=tile_w, far_mode=far_mode)
         packed = backend.pack_state(lstate)
 
         class _Packed:
@@ -221,10 +222,16 @@ def main() -> int:
         f"{substeps_per_sec:.1f} substeps/s, "
         f"{particle_substeps_per_sec:.3g} particle-substeps/s, finite={finite}")
 
+    far_vals = far_stats() if far_stats else {}
     far_desc = ""
     if far_stats:
-        far_desc = (", far-field armed" if far_enabled else
-                    ", far-field off")
+        if not far_enabled:
+            far_desc = ", far-field off"
+        elif far_vals.get("far_overflow", 0) == 0:
+            far_desc = ", far-field armed untruncated"
+        else:
+            far_desc = (", far-field armed (OVERFLOWED "
+                        f"{far_vals['far_overflow']} candidates)")
     result = {
         "metric": f"substeps/sec @ {n} particles / {m} springs "
                   f"({scene_name}, {path} path, self-collision, "
@@ -238,8 +245,7 @@ def main() -> int:
         "beams_final": alive_beams(state),
         "finite": finite,
     }
-    if far_stats:
-        result.update(far_stats())
+    result.update(far_vals)
     print(json.dumps(result))
     return 0
 

@@ -185,3 +185,23 @@ def test_narrow_apply_matches_mirror_apply():
         np.testing.assert_allclose(np.asarray(got[i]),
                                    np.asarray(ref[i]), rtol=0,
                                    atol=1e-5)
+
+
+def test_v4_overflow_accounted():
+    """With a deliberately tiny pair capacity the fold must report
+    nonzero overflow through the frame stats (the reference never drops
+    a pair, compute.wgsl:144-170 — so dropped candidates MUST be
+    visible, VERDICT r2 #2)."""
+    ls = hairpin()
+    w, h = ls.shape
+    spec = LatticeSpec(w, h, collision_stencil=2)
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+    tiny = FarFieldSpec(max_pairs=4, max_tile_pairs=4, skin=4.0,
+                        horizon=8)
+    hot, obs, immut, ec = pack_lattice2(ls, tile_w=8)
+    hot, obs, st = fused_frame4(hot, obs, immut, ec, consts, uin, spec,
+                                CFG, tiny, tile_w=8, interpret=True,
+                                buckets=(4,))
+    st = np.asarray(st)
+    assert st[1] == 4, f"capacity should saturate: {st}"
+    assert st[2] > 0, f"dropped candidates must be counted: {st}"
