@@ -64,9 +64,12 @@ def _common_scene_args(p):
                    default=None)
     p.add_argument("--subticks", type=int, default=None)
     p.add_argument("--frames", type=int, default=120)
-    p.add_argument("--path", choices=["general", "lattice"], default="general",
-                   help="engine path: general gather or dense lattice "
-                        "(lattice supports cloth / tearing_cloth)")
+    p.add_argument("--path", choices=["general", "lattice", "planified"],
+                   default="general",
+                   help="engine path: general gather, dense lattice "
+                        "(cloth / tearing_cloth), or planified — any "
+                        "topology spatially embedded onto the dense "
+                        "stencil path (ops/planify.py)")
 
 
 def _build_lattice_scene(args):
@@ -114,6 +117,21 @@ def cmd_run(args) -> int:
 
         def beams_alive(s):
             return sum(int(np.asarray(e.alive).sum()) for e in s.edges)
+    elif args.path == "planified":
+        from .engine.backends import PlanifiedBackend
+
+        flat, cfg = _build_scene(args)
+        consts = PhysicsConstants.default()
+        n = int(flat.particle_count)
+        m = int(flat.beam_count)
+        backend = PlanifiedBackend(cfg)
+        state = backend.pack_state(flat)
+
+        def step(s):
+            return backend.step(s, consts, uin)
+
+        def beams_alive(s):
+            return backend.counts(s)[1]
     else:
         state, cfg = _build_scene(args)
         consts = PhysicsConstants.default()

@@ -100,6 +100,12 @@ class PlanifiedState:
     lat: LatticeState
     x: ExceptionBeams
 
+    @property
+    def pos(self):
+        """Plane-shaped positions (CLI/profiling sync hook parity with
+        SimState/LatticeState)."""
+        return self.lat.pos
+
 
 @dataclasses.dataclass(frozen=True)
 class PlanifyAux:
