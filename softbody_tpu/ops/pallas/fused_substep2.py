@@ -495,7 +495,15 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
     else:
         bfx, bfy = fx_c, fy_c
 
-    # ---------------- collision pass (full offset set) -------------------
+    # ---------------- collision pass (half offsets, antisymmetric) -------
+    # The reference evaluates every ordered pair (compute.wgsl:144-170),
+    # but its impulse terms are EXACTLY antisymmetric under f32 (every
+    # operand transform between the two sides is a sign flip, which
+    # rounds identically), so each unordered pair is evaluated ONCE on a
+    # row-extended region and the reaction applied as a shifted
+    # negation — the same trick as ops/stencil.py::_stencil_collisions,
+    # halving the dominant VPU block of the kernel.  Per-particle sums
+    # differ from the full-set order only in f32 addition order.
     if s == 0:
         z = jnp.zeros((tile_w, th), jnp.float32)
         dvx = dvy = dax = day = dyn = z
@@ -507,42 +515,85 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
         dax = jnp.zeros((tile_w, th), jnp.float32)
         day = jnp.zeros((tile_w, th), jnp.float32)
         dyn = jnp.zeros((tile_w, th), jnp.float32)
-        c_px = rd("m", PX, 0, 0)
-        c_py = rd("m", PY, 0, 0)
-        c_vx = rd("m", VX, 0, 0)
-        c_vy = rd("m", VY, 0, 0)
-        offsets = [
+        # term planes cover bases [−s, tile_w): the center slice uses
+        # [0, tile_w), the reaction slice [−ox, tile_w−ox) — bases above
+        # tile_w−1 are never read (their pairs belong to the next slab)
+        wext = tile_w + s
+
+        def rde(kind, p, ox, oy):
+            """Row-extended read at offset (ox, oy): rows cover the
+            term region's base + ox, lanes absorbed by rotated copies."""
+            if oy == 0:
+                src = mscr[p] if kind == "m" else iscr[p]
+            else:
+                src = prscr[rot_slots[(kind, p, oy)]]
+            return src[PAD_W - s + ox : PAD_W - s + ox + wext,
+                       PAD_H : PAD_H + th]
+
+        def lshift(a, dy):
+            """out[:, y] = a[:, y−dy] (zero fill): the reaction's lane
+            displacement; out-of-range partners are pad/dead cells whose
+            terms are zero anyway."""
+            if dy == 0:
+                return a
+            z_ = jnp.zeros((tile_w, abs(dy)), jnp.float32)
+            if dy > 0:
+                return jnp.concatenate([z_, a[:, : th - dy]], axis=1)
+            return jnp.concatenate([a[:, -dy:], z_], axis=1)
+
+        e_al = rde("i", ALIVE, 0, 0) > 0.0
+        e_px = rde("m", PX, 0, 0)
+        e_py = rde("m", PY, 0, 0)
+        e_vx = rde("m", VX, 0, 0)
+        e_vy = rde("m", VY, 0, 0)
+        half_offsets = [
             (ox, oy)
-            for ox in range(-s, s + 1)
+            for ox in range(0, s + 1)
             for oy in range(-s, s + 1)
-            if (ox, oy) != (0, 0)
+            if (ox, oy) != (0, 0) and (ox > 0 or oy > 0)
         ]
-        for ox, oy in offsets:
-            o_al = rd("i", ALIVE, ox, oy) > 0.0
-            valid = al_c & o_al
-            ddx = rd("m", PX, ox, oy) - c_px
-            ddy = rd("m", PY, ox, oy) - c_py
+        for ox, oy in half_offsets:
+            o_al = rde("i", ALIVE, ox, oy) > 0.0
+            valid = e_al & o_al
+            ddx = rde("m", PX, ox, oy) - e_px
+            ddy = rde("m", PY, ox, oy) - e_py
             dist = jnp.sqrt(ddx * ddx + ddy * ddy)
             coincident = valid & (dist == 0.0)
             overlap = valid & (dist > 0.0) & (dist < two_r)
             # sign(lin_i − lin_j) = −sign(ox·H + oy): per-offset constant
             co_sign = jnp.float32(-np.sign(ox * world_h + oy))
-            dyn = dyn + jnp.where(coincident, co_sign, 0.0)
+            t_dyn = jnp.where(coincident, co_sign, 0.0)
             inv = jnp.where(overlap, 1.0 / jnp.where(overlap, dist, 1.0), 0.0)
             nx_ = ddx * inv
             ny_ = ddy * inv
-            rvx = c_vx - rd("m", VX, ox, oy)
-            rvy = c_vy - rd("m", VY, ox, oy)
+            rvx = e_vx - rde("m", VX, ox, oy)
+            rvy = e_vy - rde("m", VY, ox, oy)
             imp_n = ecoeff * (rvx * nx_ + rvy * ny_)
             max_fric = imp_n * friction
             imp_t = jnp.minimum(
                 jnp.maximum(rvx * -ny_ + rvy * nx_, -max_fric), max_fric
             )
-            dvx = dvx + jnp.where(overlap, -(imp_n * nx_ + imp_t * -ny_), 0.0)
-            dvy = dvy + jnp.where(overlap, -(imp_n * ny_ + imp_t * nx_), 0.0)
+            t_dvx = jnp.where(overlap, -(imp_n * nx_ + imp_t * -ny_), 0.0)
+            t_dvy = jnp.where(overlap, -(imp_n * ny_ + imp_t * nx_), 0.0)
             clip = (two_r - dist) * 0.5 * inv_dt2
-            dax = dax + jnp.where(overlap, -nx_ * clip, 0.0)
-            day = day + jnp.where(overlap, -ny_ * clip, 0.0)
+            t_dax = jnp.where(overlap, -nx_ * clip, 0.0)
+            t_day = jnp.where(overlap, -ny_ * clip, 0.0)
+            # center slice gets +t; the partner (rows −ox, lanes −oy in
+            # term coordinates) gets the exact negation
+            for acc_i, t_ in enumerate((t_dvx, t_dvy, t_dax, t_day,
+                                        t_dyn)):
+                cterm = t_[s : s + tile_w]
+                rterm = lshift(t_[s - ox : s - ox + tile_w], oy)
+                if acc_i == 0:
+                    dvx = dvx + cterm - rterm
+                elif acc_i == 1:
+                    dvy = dvy + cterm - rterm
+                elif acc_i == 2:
+                    dax = dax + cterm - rterm
+                elif acc_i == 3:
+                    day = day + cterm - rterm
+                else:
+                    dyn = dyn + cterm - rterm
 
     if has_far:
         fscr = fscr2.at[slot]
