@@ -144,10 +144,8 @@ def _rotation_specs(stencil: int, detect: bool = False):
             specs.append(("m", p, dy))
     for dy in (ys if s else (-1, 1)):
         specs.append(("i", ALIVE, dy))
-    for c, (_dx, dy) in enumerate(EDGE_OFFSETS):
-        if dy:
-            for p in (6 + c * 3 + TGT, 6 + c * 3 + LST, 6 + c * 3 + EAL):
-                specs.append(("m", p, -dy))
+    # (edge-state planes need no rotations since the spring pass went
+    # owner-eval + shifted reaction: TGT/LST/EAL are read at Δy=0 only)
     if detect:
         band_ys = sorted({dy for _dx, dy in _band_offsets(s) if dy})
         for dy in band_ys:
@@ -411,34 +409,57 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
         # (writing zeros here would cost N_SIDE plane-writes per calm
         # substep for data nobody reads)
 
-    # ---------------- spring pass (full evaluation at both endpoints) ----
+    # ---------------- spring pass (owner eval + shifted reaction) ---------
+    # Each edge is evaluated ONCE at its owner (lower endpoint) on a
+    # 1-row-extended base region; the upper endpoint's +f is the shifted
+    # copy of the SAME (quantized) value.  The former mirror evaluation
+    # produced bit-identical floats by construction ("same sequence on
+    # the same operands"), so with int32 quantized accumulation the
+    # halved pass is BIT-identical to it; in float mode only the f32
+    # addition order changes.  Extension bases live in the slab halo, so
+    # a cross-slab edge's upper force comes from the slab that owns the
+    # lower endpoint's row in ITS extension — applied exactly once.
     acc_t = jnp.int32 if quantized else jnp.float32
     fx_c = jnp.zeros((tile_w, th), acc_t)
     fy_c = jnp.zeros((tile_w, th), acc_t)
     hot_updates = []
     obs_updates = []
+    wsp = tile_w + 1   # spring bases cover rows [−1, tile_w)
 
-    def spring_eval(c, dx, dy, lower):
-        """Force this center tile receives from class-c edges where the
-        center is the lower (lower=True) / upper endpoint.  The float ops
-        are the same sequence on the same operands at both sites, so the
-        exchanged force is exactly antisymmetric."""
-        mb = 6 + c * 3
-        if lower:
-            ea = rd("m", mb + EAL, 0, 0) > 0.0
-            a_ok = al_c & (rd("i", ALIVE, dx, dy) > 0.0)
-            ddx = rd("m", PX, dx, dy) - rd("m", PX, 0, 0)
-            ddy = rd("m", PY, dx, dy) - rd("m", PY, 0, 0)
-            tgt = rd("m", mb + TGT, 0, 0)
-            lst = rd("m", mb + LST, 0, 0)
+    def rds(kind, p, ox, oy):
+        """Spring-extended read: rows cover bases [−1, tile_w) + ox."""
+        if oy == 0:
+            src = mscr[p] if kind == "m" else iscr[p]
         else:
-            ea = rd("m", mb + EAL, -dx, -dy) > 0.0
-            a_ok = al_c & (rd("i", ALIVE, -dx, -dy) > 0.0)
-            ddx = rd("m", PX, 0, 0) - rd("m", PX, -dx, -dy)
-            ddy = rd("m", PY, 0, 0) - rd("m", PY, -dx, -dy)
-            tgt = rd("m", mb + TGT, -dx, -dy)
-            lst = rd("m", mb + LST, -dx, -dy)
-        active = ea & a_ok
+            src = prscr[rot_slots[(kind, p, oy)]]
+        return src[PAD_W - 1 + ox : PAD_W - 1 + ox + wsp,
+                   PAD_H : PAD_H + th]
+
+    def lane_shift(a, dy):
+        """out[:, y] = a[:, y−dy], zero-filled (out-of-range partners
+        are pad cells whose contributions are zero)."""
+        if dy == 0:
+            return a
+        rows = a.shape[0]
+        z_ = jnp.zeros((rows, abs(dy)), a.dtype)
+        if dy > 0:
+            return jnp.concatenate([z_, a[:, : th - dy]], axis=1)
+        return jnp.concatenate([a[:, -dy:], z_], axis=1)
+
+    al_e = rds("i", ALIVE, 0, 0) > 0.0
+    for c, (dx, dy) in enumerate(EDGE_OFFSETS):
+        mb = 6 + c * 3
+        e_len = _ec(consts, c, EC_LEN)
+        e_yld = _ec(consts, c, EC_YLD)
+        e_lim = _ec(consts, c, EC_LIM)
+
+        # owner evaluation over extended bases [−1, tile_w)
+        ea = rds("m", mb + EAL, 0, 0) > 0.0
+        active = ea & al_e & (rds("i", ALIVE, dx, dy) > 0.0)
+        ddx = rds("m", PX, dx, dy) - rds("m", PX, 0, 0)
+        ddy = rds("m", PY, dx, dy) - rds("m", PY, 0, 0)
+        tgt = rds("m", mb + TGT, 0, 0)
+        lst = rds("m", mb + LST, 0, 0)
         raw = jnp.sqrt(ddx * ddx + ddy * ddy)
         zero = raw == 0.0
         ddx = jnp.where(zero, 0.0, ddx)
@@ -450,44 +471,39 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
         inv_ln = 1.0 / ln
         fvx = jnp.where(active, fmag * ddx * inv_ln, 0.0)
         fvy = jnp.where(active, fmag * ddy * inv_ln, 0.0)
-        return active, ln, fmag, fvx, fvy, tgt, lst
 
-    for c, (dx, dy) in enumerate(EDGE_OFFSETS):
-        mb = 6 + c * 3
-        e_len = _ec(consts, c, EC_LEN)
-        e_yld = _ec(consts, c, EC_YLD)
-        e_lim = _ec(consts, c, EC_LIM)
-
-        # lower endpoint: edge owned here; updates + −f
-        active, ln, fmag, fvx, fvy, tgt, lst = spring_eval(c, dx, dy, True)
-        strain = (ln - tgt) / e_len
+        # edge-state updates from the center slice of the owner eval
+        ce = slice(1, 1 + tile_w)
+        a_c, ln_c, tgt_c, lst_c, fmag_c = (active[ce], ln[ce], tgt[ce],
+                                           lst[ce], fmag[ce])
+        strain = (ln_c - tgt_c) / e_len
         yielded = jnp.abs(strain) > e_yld
-        new_tgt = jnp.where(yielded, ln - e_yld * e_len * jnp.sign(strain), tgt)
-        breaks = jnp.abs(ln - e_len) > e_len * e_lim
+        new_tgt = jnp.where(
+            yielded, ln_c - e_yld * e_len * jnp.sign(strain), tgt_c
+        )
+        breaks = jnp.abs(ln_c - e_len) > e_len * e_lim
         hot_updates.append((
-            jnp.where(active, new_tgt, tgt),
-            jnp.where(active, ln, lst),
-            jnp.where(active & breaks, 0.0, rd("m", mb + EAL, 0, 0)),
+            jnp.where(a_c, new_tgt, tgt_c),
+            jnp.where(a_c, ln_c, lst_c),
+            jnp.where(a_c & breaks, 0.0, rd("m", mb + EAL, 0, 0)),
         ))
         if obs:
             obs_updates.append((
-                jnp.where(active, jnp.abs(strain) / e_yld,
+                jnp.where(a_c, jnp.abs(strain) / e_yld,
                           obscr[c * 2 + STR]),
-                jnp.where(active, fmag * jnp.float32(BEAM_STRESS_SCALE),
+                jnp.where(a_c, fmag_c * jnp.float32(BEAM_STRESS_SCALE),
                           obscr[c * 2 + STS]),
             ))
-
-        # upper endpoint: mirror evaluation; +f (identical float value)
-        _, _, _, gvx, gvy, _, _ = spring_eval(c, dx, dy, False)
 
         if quantized:
             fs = jnp.float32(PARTICLE_FORCE_SCALE)
             fvx = jnp.trunc(fvx * fs).astype(jnp.int32)
             fvy = jnp.trunc(fvy * fs).astype(jnp.int32)
-            gvx = jnp.trunc(gvx * fs).astype(jnp.int32)
-            gvy = jnp.trunc(gvy * fs).astype(jnp.int32)
-        fx_c = fx_c - fvx + gvx
-        fy_c = fy_c - fvy + gvy
+        # owner gets −f; the partner's +f is the same value shifted by
+        # the class offset (base rows [−dx, tile_w−dx), lanes +dy)
+        up = slice(1 - dx, 1 - dx + tile_w)
+        fx_c = fx_c - fvx[ce] + lane_shift(fvx[up], dy)
+        fy_c = fy_c - fvy[ce] + lane_shift(fvy[up], dy)
 
     if quantized:
         bfx = fx_c.astype(jnp.float32) / jnp.float32(PARTICLE_FORCE_SCALE)
