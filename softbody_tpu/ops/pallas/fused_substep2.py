@@ -116,6 +116,22 @@ def _ec(consts, c, which):
     return consts[N_CONSTS + c * 5 + which]
 
 
+# max +Δy lane offset any in-kernel read uses: collision stencil ≤ 2,
+# far band sources ≤ 2·FF_CHUNK − 1 = 7 (_band_offsets)
+LANE_REACH = 8
+
+
+def lane_pad_hr(h_real: int, hr: int) -> int:
+    """RIGHT lane pad for the packed plane stacks.  The interior is
+    rounded up to ``hr`` (128-lane tiles); when the rounding slack
+    ``hr − h_real`` already covers every +Δy read (LANE_REACH), those
+    dead lanes double as the top halo and the right pad drops to 0 —
+    at the 1M bench (h 1000 → hr 1024) that is lane dim 1280 → 1152,
+    ~10% off every input DMA, rotation copy, and VMEM scratch plane.
+    Otherwise a full 128-lane tile keeps the stack tile-aligned."""
+    return 0 if hr - h_real >= LANE_REACH else 128
+
+
 def _band_offsets(stencil: int, chunk: int = FF_CHUNK):
     """Half-plane particle offsets of the far-field band source
     (index-chebyshev in [stencil+1, 2·chunk−1]); mirrors
@@ -163,7 +179,7 @@ def _rotation_specs(stencil: int, detect: bool = False):
 def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
              quantized: bool, has_far: bool, obs: bool,
              trig: bool = False, detect: bool = False,
-             far_interior: bool = False):
+             far_interior: bool = False, pad_hr: int = PAD_H):
     idx = 0
     mut_ref = refs[idx]; idx += 1
     immut_ref = refs[idx]; idx += 1
@@ -199,7 +215,7 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
     i = pl.program_id(0)
     n_slabs = pl.num_programs(0)
     bw = tile_w + 2 * PAD_W
-    bh = world_h + 2 * PAD_H
+    bh = world_h + PAD_H + pad_hr
     th = world_h
     s = stencil
 
@@ -292,6 +308,12 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
     def write_rot(sl_, src, dy):
         if dy > 0:
             prscr[sl_, :, : bh - dy] = src[:, dy:]
+            if pad_hr < PAD_H:
+                # with the rounding-slack right pad the top dy lanes of
+                # the read window are this unwritten tail; they are
+                # dead-interior lanes (alive=0 in the base planes), but
+                # uninitialized VMEM can be inf/nan — write inert zeros
+                prscr[sl_, :, bh - dy :] = jnp.zeros((bw, dy), src.dtype)
         else:
             prscr[sl_, :, -dy:] = src[:, : bh + dy]
 
@@ -791,10 +813,12 @@ def pack_lattice2(state, tile_w: int = 128):
     w, h = state.shape
     wr, hr = padded_dims(w, h, tile_w)
 
+    phr = lane_pad_hr(h, hr)
+
     def pad(stack):
         return jnp.pad(
             jnp.stack([x.astype(jnp.float32) for x in stack]),
-            ((0, 0), (PAD_W, PAD_W + wr - w), (PAD_H, PAD_H + hr - h)),
+            ((0, 0), (PAD_W, PAD_W + wr - w), (PAD_H, phr + hr - h)),
         )
 
     hot = [state.pos[..., 0], state.pos[..., 1],
@@ -879,7 +903,15 @@ def fused_substep2_call(hot, immut, consts_vec, *, w: int, h: int,
     if w % tile_w or h % 128:
         raise ValueError(f"padded interior ({w},{h}) misaligned")
     gw = w // tile_w
-    bw, bh = tile_w + 2 * PAD_W, h + 2 * PAD_H
+    # right lane pad is whatever the packed stack carries (lane_pad_hr):
+    # 128 (full halo tile) or 0 (rounding slack doubles as the halo)
+    pad_hr = hot.shape[-1] - h - PAD_H
+    if pad_hr not in (0, PAD_H):
+        raise ValueError(
+            f"hot lane dim {hot.shape[-1]} inconsistent with interior "
+            f"h={h} (expected h + {PAD_H} + 0 or {PAD_H})"
+        )
+    bw, bh = tile_w + 2 * PAD_W, h + PAD_H + pad_hr
     has_far = far is not None
     obs = obs_in is not None
     trig = refs is not None
@@ -891,6 +923,7 @@ def fused_substep2_call(hot, immut, consts_vec, *, w: int, h: int,
         _kernel2, tile_w=tile_w, world_h=h, stencil=stencil,
         quantized=quantized, has_far=has_far, obs=obs,
         trig=trig, detect=detect, far_interior=far_interior,
+        pad_hr=pad_hr,
     )
     n_in = 2 + int(has_far) + int(obs) + int(trig)
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] * n_in
@@ -1012,7 +1045,7 @@ def fused_frame2_far(hot, obs, immut, edge_consts, fl,
     from ..farfield import far_collision_terms
 
     w, h = padded_dims(spec.width, spec.height, tile_w)
-    ht = h + 2 * PAD_H
+    ht = hot.shape[-1]   # PAD_H + hr + lane_pad_hr
     cvec = jnp.concatenate(
         [_consts_vector(consts, uin, cfg, spec.height), edge_consts]
     )
@@ -1093,7 +1126,7 @@ def fused_frame2_auto(hot, obs, immut, edge_consts, fl,
     )
 
     w, h = padded_dims(spec.width, spec.height, tile_w)
-    ht = h + 2 * PAD_H
+    ht = hot.shape[-1]   # PAD_H + hr + lane_pad_hr
     cvec = jnp.concatenate(
         [_consts_vector(consts, uin, cfg, spec.height), edge_consts]
     )
@@ -1265,7 +1298,7 @@ def fused_frame3_auto(hot, obs, immut, edge_consts, fl, side, trig,
 
     ff = ffspec
     w, h = padded_dims(spec.width, spec.height, tile_w)
-    ht = h + 2 * PAD_H
+    ht = hot.shape[-1]   # PAD_H + hr + lane_pad_hr
     cvec0 = jnp.concatenate(
         [_consts_vector(consts, uin, cfg, spec.height), edge_consts]
     )

@@ -75,6 +75,7 @@ from ..ops.pallas.fused_substep2 import (
     VX,
     VY,
     fused_substep2_call,
+    lane_pad_hr,
     pack_lattice2,
     unpack_lattice2,
 )
@@ -183,7 +184,7 @@ def fused_spatial2_frame_fn(
     # global plane/chunk geometry (the sharded list lives on the GLOBAL
     # padded chunk grid so chunk ids mean the same thing on every device)
     wp_glob = spec.width + 2 * PAD_W
-    hp_glob = hr + 2 * PAD_H
+    hp_glob = PAD_H + hr + lane_pad_hr(spec.height, hr)
     cwx_g, cwy_g, wpc_g, hpc_g = (None, None, None, None)
     if ffspec is not None:
         cwx_g, cwy_g, wpc_g, hpc_g = _chunk_dims(wp_glob, hp_glob, ffspec)
