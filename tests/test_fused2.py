@@ -1,9 +1,10 @@
 """Fused Pallas kernel v2 (interpret mode) vs the XLA lattice path.
 
-v2 evaluates each spring at both endpoints (identical float ops → exact
-antisymmetry, bit-matching quantized sums) but accumulates collision
-terms in full-offset order, so trajectories match the XLA path to float
-tolerance like v1 does."""
+v2 evaluates each spring ONCE at its owner (lower endpoint) and applies
+the partner's +f as a shifted copy of the same quantized value (exact
+antisymmetry, bit-matching quantized sums); collision terms accumulate
+in half-offset antisymmetric order, so f32 trajectories match the XLA
+path to float tolerance like v1 does."""
 
 import dataclasses
 
@@ -141,3 +142,45 @@ def test_fused2_obs_retention():
         al = np.asarray(e.alive)
         if al.any():
             assert np.isfinite(np.asarray(e.strain)[al]).all()
+
+
+def test_lane_pad_geometries_bit_identical():
+    """The packed stack carries either a full 128-lane right pad or, when
+    the 128-rounding slack covers LANE_REACH, no right pad at all
+    (lane_pad_hr).  Physics must be bit-identical across the two
+    layouts: the trimmed geometry reuses dead rounding lanes as the +dy
+    read halo, with rotation tails zero-filled in-kernel."""
+    from softbody_tpu.ops.pallas.fused_substep2 import (
+        LANE_REACH, lane_pad_hr,
+    )
+
+    w, h = 12, 20            # hr = 128, slack 108 >= LANE_REACH -> phr 0
+    ls = scene(w, h, strain_limit=0.4)
+    spec = LatticeSpec(w, h, collision_stencil=2)
+    cfg = StaticConfig(subticks=2, particle_radius=9.0,
+                       collision_mode="allpairs")
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+
+    hot0, obs0, immut0, ec = pack_lattice2(ls, tile_w=8)
+    assert lane_pad_hr(h, 128) == 0 and hot0.shape[-1] == 128 + 128
+    # same state in the legacy full-right-pad layout
+    padt = ((0, 0), (0, 0), (0, 128))
+    hot1, obs1, immut1 = (jnp.pad(x, padt) for x in (hot0, obs0, immut0))
+
+    outs = []
+    for hot, obs, immut in ((hot0, obs0, immut0), (hot1, obs1, immut1)):
+        hh, oo = fused_frame2(hot, obs, immut, ec, consts, uin, spec,
+                              cfg, tile_w=8, interpret=True)
+        outs.append(unpack_lattice2(hh, oo, ls))
+    a, b = outs
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+    np.testing.assert_array_equal(np.asarray(a.vel), np.asarray(b.vel))
+    for ea, eb in zip(a.edges, b.edges):
+        np.testing.assert_array_equal(np.asarray(ea.target_length),
+                                      np.asarray(eb.target_length))
+        np.testing.assert_array_equal(np.asarray(ea.alive),
+                                      np.asarray(eb.alive))
+    # the fall-back geometry is still chosen when the slack is too thin
+    assert lane_pad_hr(128, 128) == 128
+    assert lane_pad_hr(128 - LANE_REACH + 1, 128) == 128
+    assert lane_pad_hr(128 - LANE_REACH, 128) == 0
