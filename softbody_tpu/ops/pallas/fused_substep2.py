@@ -22,16 +22,21 @@ What changed vs v1 and why (each a measured cost in v1):
    spatially-varying edge parameters keep using the v1 kernel
    (pack_lattice2 refuses them).
 
-3. **Pre-rotated lane copies + full-offset evaluation** — v1 evaluated
-   each pair once (half offsets) and mirrored the result to the partner,
-   which re-slices *computed* arrays at ±1/±2 lane offsets: Mosaic turns
+3. **Pre-rotated lane copies + halved pair passes** — v1 mirrored
+   *computed* arrays to the partner at ±1/±2 lane offsets: Mosaic turns
    every misaligned read into a lane rotation (v1's dominant cost).  v2
-   materializes each needed (plane, Δy) rotation ONCE into VMEM scratch,
-   then evaluates the full offset set with lane-ALIGNED reads (sublane
-   offsets only).  Twice the pair arithmetic — the VPU is idle anyway —
-   for ~6× fewer lane rotations.  Force symmetry is preserved exactly:
-   the partner-site evaluation performs the identical float ops on the
-   identical operands, and quantized (int32) accumulation commutes.
+   materializes each needed (plane, Δy) rotation ONCE into VMEM scratch
+   so every read is lane-ALIGNED (sublane offsets only), and evaluates
+   each unordered pair ONCE:
+   - springs: owner (lower-endpoint) evaluation on a 1-row-extended
+     base region; the partner's +f is the shifted copy of the SAME
+     quantized value — with int32 accumulation the halved pass is
+     BIT-identical to a both-endpoint evaluation;
+   - collisions: half offsets, reaction applied as a shifted negation
+     (the impulse terms are exactly antisymmetric under f32 — every
+     operand transform between the two sides is a sign flip, which
+     rounds identically).
+   Half the pair arithmetic AND ~6× fewer lane rotations than v1.
 
 4. **Double-buffered output DMA** — v1 waited on each slab's output copy
    before computing the next slab; v2 ping-pongs two output buffers and
