@@ -33,7 +33,8 @@ def main() -> int:
     from softbody_tpu.models import self_colliding_cloth
     from softbody_tpu.ops.step import frame
 
-    state, cfg0 = self_colliding_cloth()
+    n_target = int(os.environ.get("BENCH3_N", 100_000))
+    state, cfg0 = self_colliding_cloth(n_particles=n_target)
     n = int(np.asarray(state.particle_alive).sum())
     m = int(np.asarray(state.beam_alive).sum())
     print(f"{n} particles, {m} beams, radius={cfg0.particle_radius:.3f}, "
