@@ -193,7 +193,8 @@ def main() -> int:
     t0 = time.time()
     state = step(state)
     jax.block_until_ready(state.pos)
-    log(f"compile+first frame {time.time() - t0:.1f}s")
+    compile_first_s = time.time() - t0
+    log(f"compile+first frame {compile_first_s:.1f}s")
 
     def sync(s):
         # scalar readback: block_until_ready alone can return early
@@ -244,6 +245,7 @@ def main() -> int:
         "beams_initial": m_initial,
         "beams_final": alive_beams(state),
         "finite": finite,
+        "compile_first_s": round(compile_first_s, 1),
     }
     result.update(far_vals)
     print(json.dumps(result))
