@@ -70,3 +70,30 @@ def test_corrupted_state_keeps_stepping(seed):
     for _ in range(4):
         state = substep_jit(state, consts, uin, cfg)
     assert np.asarray(state.pos).shape == (n, 2)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_corrupted_fused_backend_keeps_stepping(seed):
+    """Corrupt-state chaos on the FUSED kernel path (≙ corruptBuffers,
+    engineWorker.ts:599-617): random garbage — including NaN/Inf bit
+    patterns — in the packed plane stacks must not fault the kernel or
+    change any shape."""
+    from softbody_tpu.engine.backends import FusedLatticeBackend
+    from softbody_tpu.models import make_lattice
+    from softbody_tpu.ops.stencil import LatticeSpec
+
+    rng = np.random.default_rng(100 + seed)
+    ls = make_lattice(12, 12, 20.0, ox=200.0, oy=300.0)
+    spec = LatticeSpec(12, 12, collision_stencil=2)
+    cfg = StaticConfig(subticks=4, collision_mode="allpairs",
+                       particle_radius=8.0, force_mode="quantized")
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+    be = FusedLatticeBackend(spec, cfg, farfield=None, tile_w=8)
+    st = be.pack_state(ls)
+    shapes = tuple(x.shape for x in st)
+    st = be.corrupt(st, rng)
+    for _ in range(3):
+        st = be.step(st, consts, uin)
+    assert tuple(x.shape for x in st) == shapes
+    g = be.unpack_state(st)
+    assert np.asarray(g.pos).shape == (12, 12, 2)
