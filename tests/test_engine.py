@@ -280,10 +280,15 @@ def test_recreate_preserves_state_on_option_change():
         assert new.options.subticks == 32
         wait_frames(new, 1)
         pkt1 = new.render_packet()
-        # state carried over: same shape, positions continuous (within a
-        # frame or two of drift)
+        # State carried over (not reset): the scene is in free fall, so x
+        # is untouched and y keeps falling from wherever pkt0 left it.  A
+        # fixed drift bound is flaky on a loaded box (the free-running
+        # engines step a nondeterministic number of frames between the
+        # two packets), so assert the direction of motion instead.
         assert pkt1.pos.shape == pkt0.pos.shape
-        assert np.abs(pkt1.pos - pkt0.pos).max() < 50.0
+        assert np.array_equal(pkt1.pos[:, 0], pkt0.pos[:, 0])
+        assert (pkt1.pos[:, 1] < pkt0.pos[:, 1]).all()
+        assert (pkt1.pos[:, 1] > 0).all()
         # initial-state slot survives re-creation
         assert new.reset()
         assert new.error is None
