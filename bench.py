@@ -102,8 +102,14 @@ def main() -> int:
             f"cadence/horizon={ff.horizon if ff else 0}) "
             f"(built in {time.time() - t0:.1f}s)")
         tile_w = int(os.environ.get("BENCH_TILE_W", 64))
+        # apply-capacity buckets, e.g. BENCH_FAR_BUCKETS=2048,4096
+        # (empty/unset = frame default)
+        bk_env = os.environ.get("BENCH_FAR_BUCKETS", "")
+        far_buckets = (tuple(int(x) for x in bk_env.split(","))
+                       if bk_env else None)
         backend = FusedLatticeBackend(spec, cfg, farfield=ff,
-                                      tile_w=tile_w, far_mode=far_mode)
+                                      tile_w=tile_w, far_mode=far_mode,
+                                      far_buckets=far_buckets)
         packed = backend.pack_state(lstate)
 
         class _Packed:

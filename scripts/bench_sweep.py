@@ -1,0 +1,120 @@
+"""One-process bench sweep over fused-path variants.
+
+The axon transport's first D2H costs 1-15 min PER PROCESS, so sweeping
+configs inside one process (one warmup, then compile+measure per
+config) is far cheaper than N bench.py invocations.  Each config
+prints one JSON line (same fields as bench.py plus "label").
+
+Usage: python scripts/bench_sweep.py [label ...]
+(no args = all configs; labels select a subset)
+
+Env: SWEEP_N (default 1_000_000), SWEEP_FRAMES (default 8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+# (label, overrides) — overrides: tile_w, buckets, far (bool), cadence,
+# far_k.  Baseline mirrors bench.py defaults (tile_w 64, v4, K 16384,
+# cadence 8, skin 0.75·spacing, fragile fabric, 7 slits).
+CONFIGS = [
+    ("base", {}),
+    ("tile128", {"tile_w": 128}),
+    ("buckets2048", {"buckets": (2048,)}),
+    ("buckets4096", {"buckets": (4096,)}),  # mirror path at benched load
+    ("nearfield", {"far": False}),
+]
+
+
+def main() -> int:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    want = set(sys.argv[1:])
+    configs = [c for c in CONFIGS if not want or c[0] in want]
+
+    t0 = time.time()
+    np.asarray(jax.block_until_ready(jnp.zeros(8)))
+    log(f"warmup readback {time.time() - t0:.1f}s; devices={jax.devices()}")
+
+    from softbody_tpu import PhysicsConstants, UserInput
+    from softbody_tpu.engine.backends import FusedLatticeBackend
+    from softbody_tpu.models import tearing_cloth_lattice
+    from softbody_tpu.ops.farfield import FarFieldSpec
+
+    n_target = int(os.environ.get("SWEEP_N", 1_000_000))
+    frames = int(os.environ.get("SWEEP_FRAMES", 8))
+    uin = UserInput.none()
+
+    t0 = time.time()
+    lstate, spec, cfg, consts = tearing_cloth_lattice(
+        n_particles=n_target, fall_speed=2.5, slits=7,
+        strain_limit=0.22, yield_strain=0.18,
+    )
+    w, h = lstate.shape
+    spacing = 980.0 / (w - 1)
+    log(f"scene {w}x{h} built in {time.time() - t0:.1f}s")
+
+    for label, ov in configs:
+        tile_w = ov.get("tile_w", 64)
+        far = ov.get("far", True)
+        cadence = ov.get("cadence", 8)
+        far_k = ov.get("far_k", 16384)
+        buckets = ov.get("buckets")
+        ff = None
+        if far:
+            ff = FarFieldSpec(max_pairs=far_k, max_tile_pairs=256,
+                              skin=0.75 * spacing, horizon=cadence)
+        log(f"== {label}: tile_w={tile_w} far={far} cadence={cadence} "
+            f"K={far_k} buckets={buckets}")
+        try:
+            backend = FusedLatticeBackend(spec, cfg, farfield=ff,
+                                          tile_w=tile_w,
+                                          far_buckets=buckets)
+            state = backend.pack_state(lstate)
+
+            t0 = time.time()
+            state = backend.step(state, consts, uin)
+            jax.block_until_ready(state[0])
+            compile_s = time.time() - t0
+
+            state = backend.step(state, consts, uin)   # warm
+            jax.device_get(state[0][(0,) * state[0].ndim])
+
+            t0 = time.time()
+            for _ in range(frames):
+                state = backend.step(state, consts, uin)
+            jax.device_get(state[0][(0,) * state[0].ndim])
+            elapsed = time.time() - t0
+
+            sps = frames * cfg.subticks / elapsed
+            out = {
+                "label": label,
+                "value": round(sps, 2),
+                "unit": "substeps/s",
+                "vs_baseline": round(sps / 500.0, 3),
+                "compile_first_s": round(compile_s, 1),
+                "ms_per_substep": round(1000.0 * elapsed
+                                        / (frames * cfg.subticks), 3),
+            }
+            out.update(backend.far_stats())
+            print(json.dumps(out), flush=True)
+        except Exception as e:  # noqa: BLE001 — sweep survives one bad cfg
+            print(json.dumps({"label": label, "error": repr(e)[:300]}),
+                  flush=True)
+            log(f"{label} FAILED: {e!r}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

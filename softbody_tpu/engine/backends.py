@@ -353,13 +353,17 @@ class FusedLatticeBackend(LatticeBackend):
     Snapshot/corrupt round-trip through LatticeState (cold paths)."""
 
     def __init__(self, spec, cfg: StaticConfig, farfield=None,
-                 tile_w: int = 128, far_mode: str = "v4") -> None:
+                 tile_w: int = 128, far_mode: str = "v4",
+                 far_buckets: Optional[Tuple[int, ...]] = None) -> None:
         super().__init__(spec, cfg, farfield=farfield)
         self.tile_w = tile_w
         # "v4": fixed-cadence rebuilds + mirror-table apply (the round-3
         # default; ops/farfield4.py).  "v3": triggered rebuilds with
         # kernel-side detection, far state carried across frames.
         self.far_mode = far_mode
+        # apply-capacity buckets (None = the frame's default); fewer
+        # buckets shrink the compiled switch, more track n_pairs tighter
+        self.far_buckets = far_buckets
         self._immut = None
         self._edge_consts = None
         self._template = None
@@ -423,10 +427,12 @@ class FusedLatticeBackend(LatticeBackend):
             from ..ops.pallas.fused_substep2 import fused_frame4
 
             hot, obs = state
+            bkw = ({} if self.far_buckets is None
+                   else {"buckets": self.far_buckets})
             hot, obs, st = fused_frame4(
                 hot, obs, self._immut, self._edge_consts, consts, uin,
                 self.spec, self.cfg, self.ff, tile_w=self.tile_w,
-                interpret=interp,
+                interpret=interp, **bkw,
             )
             if self._stats_acc is None:
                 self._stats_acc = st

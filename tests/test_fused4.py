@@ -187,6 +187,32 @@ def test_narrow_apply_matches_mirror_apply():
                                    atol=1e-5)
 
 
+def test_backend_far_buckets_override():
+    """FusedLatticeBackend(far_buckets=...) must plumb a custom apply
+    bucket ladder into fused_frame4 and produce the same physics as the
+    default ladder (bucket choice only changes the crop capacity the
+    apply runs at, never which valid pairs contribute)."""
+    from softbody_tpu.engine.backends import FusedLatticeBackend
+
+    ls = hairpin()
+    w, h = ls.shape
+    spec = LatticeSpec(w, h, collision_stencil=2)
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+    outs = {}
+    for name, bk in (("default", None), ("single", (16,))):
+        backend = FusedLatticeBackend(spec, CFG, farfield=FF, tile_w=8,
+                                      far_buckets=bk)
+        st = backend.pack_state(ls)
+        st = backend.step(st, consts, uin)
+        got = backend.unpack_state(st)
+        stats = backend.far_stats()
+        assert stats["far_pairs"] > 0, f"{name}: no far pairs on fold"
+        outs[name] = np.asarray(got.pos)
+        assert np.isfinite(outs[name]).all()
+    np.testing.assert_allclose(outs["single"], outs["default"],
+                               rtol=0, atol=1e-4)
+
+
 def test_v4_overflow_accounted():
     """With a deliberately tiny pair capacity the fold must report
     nonzero overflow through the frame stats (the reference never drops
