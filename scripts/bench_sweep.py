@@ -29,8 +29,12 @@ def log(msg: str) -> None:
 CONFIGS = [
     ("base", {}),
     ("tile128", {"tile_w": 128}),
+    ("buckets1280", {"buckets": (1280, 2048, 4096)}),  # fits the ~1062
     ("buckets2048", {"buckets": (2048,)}),
     ("buckets4096", {"buckets": (4096,)}),  # mirror path at benched load
+    # v3 head-to-head: triggered rebuilds + in-kernel detection, its
+    # round-2 tuning (skin 1.5·spacing, horizon 32) but v4's capacity
+    ("v3", {"far_mode": "v3", "skin_mult": 1.5, "cadence": 32}),
     ("nearfield", {"far": False}),
 ]
 
@@ -74,13 +78,14 @@ def main() -> int:
         ff = None
         if far:
             ff = FarFieldSpec(max_pairs=far_k, max_tile_pairs=256,
-                              skin=0.75 * spacing, horizon=cadence)
+                              skin=ov.get("skin_mult", 0.75) * spacing,
+                              horizon=cadence)
         log(f"== {label}: tile_w={tile_w} far={far} cadence={cadence} "
             f"K={far_k} buckets={buckets}")
         try:
-            backend = FusedLatticeBackend(spec, cfg, farfield=ff,
-                                          tile_w=tile_w,
-                                          far_buckets=buckets)
+            backend = FusedLatticeBackend(
+                spec, cfg, farfield=ff, tile_w=tile_w,
+                far_mode=ov.get("far_mode", "v4"), far_buckets=buckets)
             state = backend.pack_state(lstate)
 
             t0 = time.time()
