@@ -56,32 +56,55 @@ def main() -> int:
             # spatially embed the arbitrary graph onto the dense stencil
             # path; beams bit-exact vs flat (quantized), collisions via
             # the dense index-space stencil + far-field for fold contacts
-            from softbody_tpu.ops.planify import planified_frame, planify
+            # that develop after the embedding (planified_frame_far;
+            # BENCH3_FARFIELD=0 to measure the stencil-only frame)
+            from softbody_tpu.ops.farfield import FarFieldSpec
+            from softbody_tpu.ops.planify import (
+                planified_frame, planified_frame_far, planify,
+            )
 
+            far_on = os.environ.get("BENCH3_FARFIELD", "1") != "0"
             t0 = time.time()
             ps, pspec, aux = planify(state, collision_stencil=3)
             print(f"[planified] embed {time.time() - t0:.1f}s: plane "
                   f"{pspec.width}x{pspec.height}, "
                   f"{len(pspec.edge_offsets)} offset classes, "
-                  f"{aux.n_exceptions} exception beams", flush=True)
+                  f"{aux.n_exceptions} exception beams, "
+                  f"farfield={'armed' if far_on else 'off'}", flush=True)
             # the dense path does index-stencil collisions whenever the
             # mode isn't "none" (lattice_substep → _stencil_collisions)
             cfg = dataclasses.replace(cfg0, collision_mode="allpairs")
+            ff = FarFieldSpec(max_pairs=16384, max_tile_pairs=256,
+                              skin=3.0 * cfg0.particle_radius, horizon=8)
+
+            def pstep(s):
+                if far_on:
+                    return planified_frame_far(s, consts, uin, pspec,
+                                               cfg, ff)
+                return planified_frame(s, consts, uin, pspec, cfg), None
+
             t0 = time.time()
-            ps = planified_frame(ps, consts, uin, pspec, cfg)
+            ps, st = pstep(ps)
             _ = jax.device_get(ps.lat.pos[0, 0])
             print(f"[planified] compile+first {time.time() - t0:.1f}s",
                   flush=True)
             frames = 8
             t0 = time.time()
             for _ in range(frames):
-                ps = planified_frame(ps, consts, uin, pspec, cfg)
+                ps, st = pstep(ps)
             _ = jax.device_get(ps.lat.pos[0, 0])
             el = time.time() - t0
             sps = frames * cfg.subticks / el
+            far_desc = ""
+            if far_on:
+                st = np.asarray(st)
+                far_desc = (f" [far: rebuilds/frame={int(st[0])} "
+                            f"max_pairs={int(st[1])} "
+                            f"overflow={int(st[2])}]")
             print(f"[planified] {frames} frames in {el:.2f}s -> "
                   f"{sps:.1f} substeps/s "
-                  f"({sps * n:.3g} particle-substeps/s)", flush=True)
+                  f"({sps * n:.3g} particle-substeps/s){far_desc}",
+                  flush=True)
             continue
         if mode == "directed":
             from softbody_tpu.ops.directed import (

@@ -517,9 +517,15 @@ class PlanifiedBackend(SimBackend):
     def __init__(self, cfg: StaticConfig,
                  max_particles: Optional[int] = None,
                  max_beams: Optional[int] = None,
-                 collision_stencil: int = 3) -> None:
+                 collision_stencil: int = 3,
+                 farfield=None) -> None:
         super().__init__(cfg, max_particles, max_beams)
         self.collision_stencil = collision_stencil
+        # optional FarFieldSpec: contacts that develop AFTER the pack-time
+        # embedding can be index-distant in the embedded plane; far-field
+        # restores them (fixed-cadence v4 schedule, planified_frame_far)
+        self.ff = farfield
+        self._stats_acc = None
         self._spec = None
         self._aux = None
         self._template = None
@@ -540,9 +546,27 @@ class PlanifiedBackend(SimBackend):
         return unplanify(ps, self._template, self._aux)
 
     def step(self, ps, consts, uin):
-        from ..ops.planify import planified_frame
+        from ..ops.planify import planified_frame, planified_frame_far
 
+        if self.ff is not None and self.cfg.collision_mode != "none":
+            ps, st = planified_frame_far(ps, consts, uin, self._spec,
+                                         self.cfg, self.ff)
+            if self._stats_acc is None:
+                self._stats_acc = st
+            else:
+                self._stats_acc = _stats_merge(self._stats_acc, st)
+            return ps
         return planified_frame(ps, consts, uin, self._spec, self.cfg)
+
+    def far_stats(self) -> dict:
+        """Device-accumulated far stats since the last read (resets on
+        read — same semantics as FusedLatticeBackend.far_stats)."""
+        if self._stats_acc is None:
+            return {}
+        reb, pairs, over = (int(x) for x in np.asarray(self._stats_acc))
+        self._stats_acc = None
+        return {"far_rebuilds": reb, "far_pairs": pairs,
+                "far_overflow": over}
 
     def extract(self, ps):
         return _sim_extract(self.unpack_state(ps))

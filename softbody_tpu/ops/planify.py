@@ -461,6 +461,90 @@ def planified_frame(ps: PlanifiedState, consts: PhysicsConstants,
                              update_observability=True)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "cfg", "ffspec", "n_sub"),
+                   donate_argnames=("ps",))
+def planified_frame_far(ps: PlanifiedState, consts: PhysicsConstants,
+                        uin: UserInput, spec: LatticeSpec,
+                        cfg: StaticConfig, ffspec,
+                        n_sub: Optional[int] = None):
+    """One frame with far-field self-collision, fixed-cadence schedule
+    (the v4 design, ops/farfield4.py rationale): ``n/R`` blocks of
+    [rebuild → R substeps] with ``R = ffspec.horizon``, entirely on
+    device.
+
+    This closes the planified path's physics gap: the spatial embedding
+    is computed at pack time, so contacts that DEVELOP afterwards (a
+    cloth folding onto itself) can be index-distant in the embedded
+    plane — exactly the pairs the reference's O(N²) loop sees
+    (/root/reference/src/shaders/compute.wgsl:144-170) and a stencil
+    alone misses.  Near-field stays on the dense stencil; candidate
+    chunk pairs come from the layout-agnostic far-field machinery over
+    the embedded planes.
+
+    Returns ``(ps', stats)`` with ``stats = int32[3]``: (rebuilds,
+    max n_pairs, max overflow) over the frame."""
+    from .farfield import rebuild_far_list_planes
+
+    n = cfg.subticks if n_sub is None else n_sub
+    R = min(ffspec.horizon, n)
+    n_outer = n // R
+    rem = n % R
+
+    def rebuild(s):
+        return rebuild_far_list_planes(
+            s.lat.pos[..., 0], s.lat.pos[..., 1], s.lat.alive,
+            s=spec.collision_stencil, ff=ffspec,
+            radius=cfg.particle_radius,
+            vx=s.lat.vel[..., 0], vy=s.lat.vel[..., 1], dt=cfg.dt,
+        )
+
+    def substep(s, fl, update_obs):
+        return planified_substep(s, consts, uin, spec, cfg,
+                                 update_observability=update_obs,
+                                 far=fl, ffspec=ffspec)
+
+    def block(s, n_inner):
+        fl = rebuild(s)
+
+        def inner(ss, _):
+            return substep(ss, fl, False), None
+
+        s, _ = jax.lax.scan(inner, s, None, length=n_inner)
+        return s, fl
+
+    def merge_st(st_, fl):
+        return jnp.stack([
+            st_[0] + 1,
+            jnp.maximum(st_[1], fl.n_pairs),
+            jnp.maximum(st_[2], fl.overflow),
+        ])
+
+    st = jnp.zeros((3,), jnp.int32)
+
+    def outer(carry, _):
+        s, st_ = carry
+        s, fl = block(s, R)
+        return (s, merge_st(st_, fl)), None
+
+    # last block ends with the observing substep; full blocks before it
+    # ride the outer scan (mirrors fused_frame4's structure)
+    last = rem if rem else R
+    n_full_before = n_outer if rem else n_outer - 1
+    if n_full_before > 0:
+        (ps, st), _ = jax.lax.scan(outer, (ps, st), None,
+                                   length=n_full_before)
+    fl = rebuild(ps)
+    if last > 1:
+        def inner(ss, _):
+            return substep(ss, fl, False), None
+
+        ps, _ = jax.lax.scan(inner, ps, None, length=last - 1)
+    ps = substep(ps, fl, True)
+    st = merge_st(st, fl)
+    return ps, st
+
+
 def unplanify(ps: PlanifiedState, template: SimState,
               aux: PlanifyAux) -> SimState:
     """Plane-embedded state → flat SimState (host-side extraction for

@@ -59,3 +59,27 @@ def test_planified_backend_snapshot_and_corrupt():
     ps3 = be.step(ps3, consts, uin)
     pos, *_ = be.extract(ps3)
     assert np.asarray(pos).shape == np.asarray(state.pos).shape
+
+
+def test_planified_backend_farfield_armed():
+    """PlanifiedBackend(farfield=...) runs the fixed-cadence far frame
+    and reports device-accumulated stats; physics stays finite and the
+    reset-on-read contract holds."""
+    from softbody_tpu.ops.farfield import FarFieldSpec
+
+    state, _ = multi_blob(n_blobs=4, blob_radius=30.0)
+    cfg = StaticConfig(subticks=8, collision_mode="allpairs",
+                       particle_radius=8.0, force_mode="quantized")
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+    ff = FarFieldSpec(max_pairs=128, max_tile_pairs=32, skin=10.0,
+                      horizon=4)
+    be = PlanifiedBackend(cfg, farfield=ff)
+    ps = be.pack_state(state)
+    for _ in range(2):
+        ps = be.step(ps, consts, uin)
+    pos = be.extract(ps)[0]
+    assert np.isfinite(np.asarray(pos)).all()
+    st = be.far_stats()
+    assert st["far_rebuilds"] == 4, st   # 2 frames x (8 substeps / 4)
+    assert st["far_overflow"] == 0, st
+    assert be.far_stats() == {}          # accumulator resets on read

@@ -198,3 +198,98 @@ def test_planified_exception_breakage():
     ba = np.asarray(got.beam_alive)[:4]
     assert not ba[0] and not ba[1], f"long beams did not break: {ba}"
     assert ba[2] and ba[3], f"short beams broke spuriously: {ba}"
+
+
+def test_planified_far_field_restores_post_embedding_fold_contact():
+    """Contacts that DEVELOP after the pack-time embedding can be
+    index-distant in the embedded plane (the reference's O(N²) loop sees
+    them, compute.wgsl:144-170; the stencil alone cannot).
+    planified_frame_far must recover the flat-engine trajectory on a
+    strip whose left end has folded over its right end; the stencil-only
+    frame must miss the contact (the test's teeth)."""
+    from softbody_tpu.models.scenes import _build
+    from softbody_tpu.ops.farfield import FarFieldSpec
+    from softbody_tpu.ops.planify import planified_frame_far
+
+    # flat horizontal strip, 24 columns x 2 rows, spacing 12
+    nx, ny, sp = 24, 2, 12.0
+    pos = np.array([[100.0 + i * sp, 500.0 + j * sp]
+                    for i in range(nx) for j in range(ny)], np.float32)
+    beams = []
+    for i in range(nx):
+        for j in range(ny):
+            p = i * ny + j
+            if i + 1 < nx:
+                beams.append([p, p + ny])
+            if j + 1 < ny:
+                beams.append([p, p + 1])
+    beams = np.asarray(beams, np.int32)
+    lengths = np.linalg.norm(pos[beams[:, 0]] - pos[beams[:, 1]],
+                             axis=1).astype(np.float32)
+    m = len(beams)
+    props = {
+        "spring": np.full(m, 50.0, np.float32),
+        "damp": np.full(m, 5.0, np.float32),
+        "yield_strain": np.full(m, 10.0, np.float32),
+        "strain_limit": np.full(m, 10.0, np.float32),
+    }
+    s_pack = _build(pos, beams, lengths, props)
+
+    # embed the FLAT strip (this is the state the layout knows about)
+    ps, spec, aux = planify(s_pack, collision_stencil=3)
+
+    # then the world moves on: the left third folds over onto the right
+    # third — spatially touching, embedding-distant (~16 columns apart)
+    pos2 = pos.copy()
+    vel2 = np.zeros_like(pos)
+    fold = nx // 3
+    for i in range(fold):
+        for j in range(ny):
+            p = i * ny + j
+            # mirror the left end over the right end, one diameter above
+            pos2[p, 0] = pos[(nx - 1 - i) * ny + j, 0]
+            pos2[p, 1] = 500.0 + j * sp + 2.5 * 4.0 + 6.0
+            vel2[p, 1] = -40.0  # approaching fast: contact this frame
+    s_now = _build(pos2, beams, lengths, props)
+    s_now = dataclasses.replace(s_now, vel=jnp.asarray(vel2))
+
+    cfg = StaticConfig(subticks=4, collision_mode="allpairs",
+                       particle_radius=4.0, force_mode="quantized")
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+
+    ref = run_flat(s_now, cfg, consts, uin, frames=1)
+
+    # transplant the evolved positions/velocities into the OLD embedding
+    # (planify(s_now) would re-embed and hide the index distance)
+    def planes_from_flat(flat_xy):
+        out = np.zeros((aux.width * aux.height, 2), np.float32)
+        out[aux.cell_of] = flat_xy
+        return jnp.asarray(out.reshape(aux.width, aux.height, 2))
+
+    def evolved_ps():
+        # fresh buffers each run: the frame fns donate their input
+        base = jax.tree_util.tree_map(jnp.copy, ps)
+        lat = dataclasses.replace(base.lat, pos=planes_from_flat(pos2),
+                                  vel=planes_from_flat(vel2))
+        return dataclasses.replace(base, lat=lat)
+
+    ps2 = evolved_ps()
+
+    ff = FarFieldSpec(max_pairs=256, max_tile_pairs=64,
+                      skin=1.5 * sp, horizon=2)
+    got_far, st = planified_frame_far(ps2, consts, uin, spec, cfg, ff)
+    st = np.asarray(st)
+    assert st[1] > 0, f"no far pairs found on the fold: {st}"
+    assert st[2] == 0, f"capacity overflowed: {st}"
+    far_state = unplanify(got_far, s_pack, aux)
+    np.testing.assert_allclose(np.asarray(far_state.pos),
+                               np.asarray(ref.pos), rtol=0, atol=2e-3)
+
+    # teeth: the stencil-only frame misses the fold contact entirely
+    got_near = unplanify(
+        planified_frame(evolved_ps(), consts, uin, spec, cfg),
+        s_pack, aux)
+    miss = np.abs(np.asarray(got_near.pos) - np.asarray(ref.pos)).max()
+    assert miss > 1.0, (
+        f"stencil-only unexpectedly matched (max diff {miss}) — the "
+        "fold is not embedding-distant, test geometry broken")
