@@ -124,7 +124,13 @@ def cmd_run(args) -> int:
         consts = PhysicsConstants.default()
         n = int(flat.particle_count)
         m = int(flat.beam_count)
-        backend = PlanifiedBackend(cfg)
+        ff = None
+        if getattr(args, "farfield", False):
+            from .ops.farfield import FarFieldSpec
+
+            # fold contacts that develop after the pack-time embedding
+            ff = FarFieldSpec(skin=3.0 * cfg.particle_radius, horizon=8)
+        backend = PlanifiedBackend(cfg, farfield=ff)
         state = backend.pack_state(flat)
 
         def step(s):
@@ -323,6 +329,8 @@ def main(argv: Optional[list] = None) -> int:
     _common_scene_args(p)
     p.add_argument("--trace", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler trace (Perfetto/XProf)")
+    p.add_argument("--farfield", action="store_true",
+                   help="arm far-field self-collision (planified path)")
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("render", help="step a scene and write PNG frames")
@@ -350,7 +358,8 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--duration", type=float, default=None,
                    help="auto-quit after N seconds (demos/tests)")
     p.add_argument("--farfield", action="store_true",
-                   help="enable far-field self-collision (lattice path)")
+                   help="enable far-field self-collision (lattice and "
+                        "planified paths)")
     p.set_defaults(fn=cmd_play)
 
     p = sub.add_parser("scenes", help="list scene families")
