@@ -76,6 +76,14 @@ class SimBackend:
             int(np.asarray(state.beam_alive).sum()),
         )
 
+    def broad_phase_overflow(self, state) -> int:
+        """Current broad-phase truncation (grid cell-capacity clipping /
+        window-row truncation) — SURVEY §5 metrics, computed on demand."""
+        from ..ops.collisions import broad_phase_overflow
+
+        return int(np.asarray(broad_phase_overflow(
+            state.pos, state.particle_alive, self.cfg)))
+
     def corrupt(self, state, rng: np.random.Generator):
         upd = {}
         for f in ("pos", "vel", "acc", "beam_length", "beam_target_length",
@@ -594,3 +602,8 @@ class PlanifiedBackend(SimBackend):
         # semantics, engineWorker.ts:599-617), then re-embed
         flat = super().corrupt(self.unpack_state(ps), rng)
         return self.pack_state(flat)
+
+    def broad_phase_overflow(self, ps) -> int:
+        # the dense index stencil has no capacity to overflow; far-field
+        # truncation is reported separately (far_stats)
+        return 0

@@ -155,6 +155,12 @@ class Engine:
     def stats(self) -> EngineStats:
         return self._worker.post_with_ack(MessageType.GET_STATS)
 
+    def broad_phase_overflow(self) -> int:
+        """Current broad-phase truncation count (grid cell-capacity /
+        window-row clipping; 0 for exhaustive or stencil modes).
+        Computed on demand — not part of the hot frame loop."""
+        return int(self._worker.post_with_ack(MessageType.GET_BP_OVERFLOW))
+
     @property
     def fps(self) -> float:
         return self._worker.fps

@@ -31,6 +31,7 @@ class MessageType(enum.Enum):
     # TPU-build extensions
     GET_RENDER_PACKET = enum.auto()
     GET_STATS = enum.auto()
+    GET_BP_OVERFLOW = enum.auto()
 
 
 @dataclasses.dataclass

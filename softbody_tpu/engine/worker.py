@@ -209,6 +209,13 @@ class EngineWorker:
             msg.respond(self._make_packet())
         elif t == MessageType.GET_STATS:
             msg.respond(self._stats())
+        elif t == MessageType.GET_BP_OVERFLOW:
+            if hasattr(self.backend, "broad_phase_overflow"):
+                with self._lock:
+                    msg.respond(
+                        self.backend.broad_phase_overflow(self._state))
+            else:
+                msg.respond(0)
         else:
             msg.respond(None)
 

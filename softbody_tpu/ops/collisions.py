@@ -343,3 +343,49 @@ def _window(pos, vel, alive, consts, cfg, query):
     dy_s = dy_s.reshape(npad)[:n]
     inv = jnp.argsort(order).astype(jnp.int32)
     return dv_s[inv], da_s[inv], dy_s[inv]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def broad_phase_overflow(pos, alive, cfg: StaticConfig):
+    """Current broad-phase truncation count for the active collision
+    mode (int32 scalar on device).
+
+    - ``grid``: live particles beyond ``grid_cell_capacity`` in their
+      cell (those fall out of candidate lists — ``build_grid``'s
+      counter);
+    - ``window``: sorted-window rows beyond ``window_rows`` across the
+      256-particle blocks (the ``_window`` truncation);
+    - other modes: 0 (``allpairs`` is exhaustive; ``none`` has no broad
+      phase).
+
+    This is the SURVEY §5 metrics hook: the engine surfaces it on
+    demand (``Engine.broad_phase_overflow``) rather than threading a
+    counter through the hot frame loop — same point-in-time semantics
+    as the far-field ``last rebuild`` stats."""
+    if cfg.collision_mode == "grid":
+        _, _, overflow = build_grid(pos, alive, cfg)
+        return overflow
+    if cfg.collision_mode != "window":
+        return jnp.int32(0)
+    # mirror _window's block geometry (kept in lockstep — see there)
+    n = pos.shape[0]
+    cell, g = _grid_geometry(cfg.bounds_size, cfg.particle_radius)
+    ncells = g * g
+    bsz = 256
+    cx = jnp.clip((pos[:, 0] / cell).astype(jnp.int32), 0, g - 1)
+    cy = jnp.clip((pos[:, 1] / cell).astype(jnp.int32), 0, g - 1)
+    cid = jnp.where(alive, cx * g + cy, jnp.int32(ncells))
+    order = jnp.argsort(cid).astype(jnp.int32)
+    sorted_cid = cid[order]
+    row_starts = jnp.searchsorted(
+        sorted_cid, jnp.arange(g + 2, dtype=jnp.int32) * g, method="sort"
+    ).astype(jnp.int32)
+    nb = -(-n // bsz)
+    npad = nb * bsz
+    scx = jnp.pad(jnp.clip(sorted_cid // g, 0, g - 1), (0, npad - n))
+    scx = jnp.where(jnp.arange(npad) < n, scx, scx[n - 1] if n else 0)
+    cx_min = jnp.min(scx.reshape(nb, bsz), axis=1)
+    cx_max = jnp.max(scx.reshape(nb, bsz), axis=1)
+    win_lo = row_starts[jnp.maximum(cx_min - 1, 0)]
+    win_hi = row_starts[jnp.minimum(cx_max + 2, g + 1)]
+    return jnp.sum(jnp.maximum(win_hi - win_lo - cfg.window_rows, 0))

@@ -318,3 +318,21 @@ def test_recreate_lattice_engine():
         assert new.error is None
     finally:
         new.destroy()
+
+
+def test_broad_phase_overflow_surfaced():
+    """Grid cell-capacity truncation is observable through the engine
+    (SURVEY §5 metrics): a deliberately crowded cell overflows a tiny
+    capacity; a roomy capacity reports zero."""
+    pos = np.full((32, 2), 505.0, np.float32)
+    for cap, expect_over in ((4, True), (64, False)):
+        opts = EngineOptions(subticks=2, collision_mode="grid",
+                             grid_cell_capacity=cap, target_fps=None)
+        # fresh state per engine: the frame fn donates its input buffers
+        with Engine(state_from_numpy(pos), options=opts) as eng:
+            wait_frames(eng, 1)
+            got = eng.broad_phase_overflow()
+            if expect_over:
+                assert got > 0, f"cap {cap}: overflow not surfaced"
+            else:
+                assert got == 0, f"cap {cap}: spurious overflow {got}"
