@@ -464,14 +464,16 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
 
     def lane_shift(a, dy):
         """out[:, y] = a[:, y−dy], zero-filled (out-of-range partners
-        are pad cells whose contributions are zero)."""
+        are pad cells whose contributions are zero).  Circular
+        pltpu.roll + lane mask — Mosaic lowers lane rotates natively,
+        while the concat-of-slices formulation hits the unimplemented
+        offset-mismatch case of tpu.concatenate (r3 bench log)."""
         if dy == 0:
             return a
-        rows = a.shape[0]
-        z_ = jnp.zeros((rows, abs(dy)), a.dtype)
-        if dy > 0:
-            return jnp.concatenate([z_, a[:, : th - dy]], axis=1)
-        return jnp.concatenate([a[:, -dy:], z_], axis=1)
+        rolled = pltpu.roll(a, shift=dy % th, axis=1)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+        dead = lanes < dy if dy > 0 else lanes >= th + dy
+        return jnp.where(dead, jnp.zeros((), a.dtype), rolled)
 
     al_e = rds("i", ALIVE, 0, 0) > 0.0
     for c, (dx, dy) in enumerate(EDGE_OFFSETS):
@@ -576,13 +578,14 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
         def lshift(a, dy):
             """out[:, y] = a[:, y−dy] (zero fill): the reaction's lane
             displacement; out-of-range partners are pad/dead cells whose
-            terms are zero anyway."""
+            terms are zero anyway.  Roll + mask for the same Mosaic
+            reason as lane_shift above."""
             if dy == 0:
                 return a
-            z_ = jnp.zeros((tile_w, abs(dy)), jnp.float32)
-            if dy > 0:
-                return jnp.concatenate([z_, a[:, : th - dy]], axis=1)
-            return jnp.concatenate([a[:, -dy:], z_], axis=1)
+            rolled = pltpu.roll(a, shift=dy % th, axis=1)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+            dead = lanes < dy if dy > 0 else lanes >= th + dy
+            return jnp.where(dead, 0.0, rolled)
 
         e_al = rde("i", ALIVE, 0, 0) > 0.0
         e_px = rde("m", PX, 0, 0)
