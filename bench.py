@@ -107,9 +107,11 @@ def main() -> int:
         bk_env = os.environ.get("BENCH_FAR_BUCKETS", "")
         far_buckets = (tuple(int(x) for x in bk_env.split(","))
                        if bk_env else None)
+        far_act = os.environ.get("BENCH_FAR_ACTIVATION", "1") != "0"
         backend = FusedLatticeBackend(spec, cfg, farfield=ff,
                                       tile_w=tile_w, far_mode=far_mode,
-                                      far_buckets=far_buckets)
+                                      far_buckets=far_buckets,
+                                      far_activation=far_act)
         packed = backend.pack_state(lstate)
 
         class _Packed:

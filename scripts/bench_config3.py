@@ -65,7 +65,10 @@ def main() -> int:
 
             far_on = os.environ.get("BENCH3_FARFIELD", "1") != "0"
             t0 = time.time()
-            ps, pspec, aux = planify(state, collision_stencil=3)
+            # far-armed embeddings need chunk-grid-aligned plane dims
+            # (chunk * tile_chunks = 16; see farfield4 id encode/decode)
+            ps, pspec, aux = planify(state, collision_stencil=3,
+                                     chunk_multiple=16 if far_on else 1)
             print(f"[planified] embed {time.time() - t0:.1f}s: plane "
                   f"{pspec.width}x{pspec.height}, "
                   f"{len(pspec.edge_offsets)} offset classes, "

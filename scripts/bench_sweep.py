@@ -29,7 +29,9 @@ def log(msg: str) -> None:
 # far_k.  Baseline mirrors bench.py defaults (tile_w 64, v4, K 16384,
 # cadence 8, skin 0.75·spacing, fragile fabric, 7 slits).
 CONFIGS = [
-    ("base", {}),
+    ("base", {}),       # = activation schedule + (256,1024,2048,4096)
+    ("noact", {"activation": False, "buckets": (1024, 2048, 4096)}),
+    ("act_fine", {"buckets": (64, 256, 1024, 2048, 4096)}),
     ("tile128", {"tile_w": 128}),
     ("buckets1280", {"buckets": (1280, 2048, 4096)}),  # fits the ~1062
     ("buckets2048", {"buckets": (2048,)}),
@@ -87,7 +89,8 @@ def main() -> int:
         try:
             backend = FusedLatticeBackend(
                 spec, cfg, farfield=ff, tile_w=tile_w,
-                far_mode=ov.get("far_mode", "v4"), far_buckets=buckets)
+                far_mode=ov.get("far_mode", "v4"), far_buckets=buckets,
+                far_activation=ov.get("activation", True))
             state = backend.pack_state(lstate)
 
             t0 = time.time()

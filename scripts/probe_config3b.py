@@ -65,7 +65,8 @@ def timeit(label, fn, s0, n_frames=FRAMES):
 
 
 def embed(stencil):
-    ps, pspec, aux = P.planify(state, collision_stencil=stencil)
+    ps, pspec, aux = P.planify(state, collision_stencil=stencil,
+                               chunk_multiple=16)
     return ps, pspec, aux
 
 

@@ -112,10 +112,11 @@ def _corrupt_array(arr, rng: np.random.Generator):
 
 @jax.jit
 def _stats_merge(a, b):
-    """Accumulate per-frame far stats [rebuilds, max pairs, max overflow]
-    lazily on device (no sync in the frame loop)."""
-    return jnp.stack(
-        [a[0] + b[0], jnp.maximum(a[1], b[1]), jnp.maximum(a[2], b[2])]
+    """Accumulate per-frame far stats [rebuilds, max pairs, max
+    overflow, (max active)] lazily on device (no sync in the frame
+    loop) — first entry sums, the rest take the running max."""
+    return jnp.concatenate(
+        [a[:1] + b[:1], jnp.maximum(a[1:], b[1:])]
     )
 
 
@@ -362,7 +363,8 @@ class FusedLatticeBackend(LatticeBackend):
 
     def __init__(self, spec, cfg: StaticConfig, farfield=None,
                  tile_w: int = 128, far_mode: str = "v4",
-                 far_buckets: Optional[Tuple[int, ...]] = None) -> None:
+                 far_buckets: Optional[Tuple[int, ...]] = None,
+                 far_activation: bool = True) -> None:
         super().__init__(spec, cfg, farfield=farfield)
         self.tile_w = tile_w
         # "v4": fixed-cadence rebuilds + mirror-table apply (the round-3
@@ -372,6 +374,10 @@ class FusedLatticeBackend(LatticeBackend):
         # apply-capacity buckets (None = the frame's default); fewer
         # buckets shrink the compiled switch, more track n_pairs tighter
         self.far_buckets = far_buckets
+        # per-substep active-prefix schedule (ops/farfield.py::
+        # pair_activation): the apply prices by pairs that can touch by
+        # the current substep, not the whole candidate list (v4 only)
+        self.far_activation = far_activation
         self._immut = None
         self._edge_consts = None
         self._template = None
@@ -440,7 +446,7 @@ class FusedLatticeBackend(LatticeBackend):
             hot, obs, st = fused_frame4(
                 hot, obs, self._immut, self._edge_consts, consts, uin,
                 self.spec, self.cfg, self.ff, tile_w=self.tile_w,
-                interpret=interp, **bkw,
+                interpret=interp, activation=self.far_activation, **bkw,
             )
             if self._stats_acc is None:
                 self._stats_acc = st
@@ -482,10 +488,13 @@ class FusedLatticeBackend(LatticeBackend):
         semantics at frame granularity)."""
         if self._stats_acc is None:
             return super().far_stats()
-        reb, pairs, over = (int(x) for x in np.asarray(self._stats_acc))
+        vals = [int(x) for x in np.asarray(self._stats_acc)]
         self._stats_acc = None
-        return {"far_rebuilds": reb, "far_pairs": pairs,
-                "far_overflow": over}
+        out = {"far_rebuilds": vals[0], "far_pairs": vals[1],
+               "far_overflow": vals[2]}
+        if len(vals) > 3:   # v4 activation schedule: max active pairs
+            out["far_active"] = vals[3]
+        return out
 
     def extract(self, state):
         return super().extract(self.unpack_state(state))
@@ -541,8 +550,14 @@ class PlanifiedBackend(SimBackend):
     def pack_state(self, state: SimState):
         from ..ops.planify import planify
 
+        # far-armed embeddings must be chunk-grid aligned: the v4 apply
+        # decodes linear chunk ids with cwy = h // chunk, which matches
+        # the rebuild's tile-padded chunk grid only when the lane dim is
+        # a multiple of chunk * tile_chunks (16) — see farfield4
+        cm = self.ff.chunk * self.ff.tile_chunks if self.ff else 1
         ps, spec, aux = planify(state,
-                                collision_stencil=self.collision_stencil)
+                                collision_stencil=self.collision_stencil,
+                                chunk_multiple=cm)
         self._spec = spec
         self._aux = aux
         self._template = state
@@ -571,10 +586,13 @@ class PlanifiedBackend(SimBackend):
         read — same semantics as FusedLatticeBackend.far_stats)."""
         if self._stats_acc is None:
             return {}
-        reb, pairs, over = (int(x) for x in np.asarray(self._stats_acc))
+        vals = [int(x) for x in np.asarray(self._stats_acc)]
         self._stats_acc = None
-        return {"far_rebuilds": reb, "far_pairs": pairs,
-                "far_overflow": over}
+        out = {"far_rebuilds": vals[0], "far_pairs": vals[1],
+               "far_overflow": vals[2]}
+        if len(vals) > 3:   # activation schedule: max active pairs
+            out["far_active"] = vals[3]
+        return out
 
     def extract(self, ps):
         return _sim_extract(self.unpack_state(ps))

@@ -252,7 +252,7 @@ def unchunk_view(x: jax.Array, wp: int, hp: int, ff: FarFieldSpec) -> jax.Array:
 
 def _chunk_detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec,
                      radius: float, vxu=None, vyu=None, dt: float = 0.0,
-                     horizon_pad: int = 0) -> ChunkPlanes:
+                     horizon_pad: int = 0, return_raw: bool = False):
     """Particle-plane detection front-end: reduce the ``[W, H]`` x/y
     position planes to chunk-level state (:class:`ChunkPlanes`).
 
@@ -288,7 +288,10 @@ def _chunk_detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec,
         raw, cany, ff=ff, radius=radius, T=T,
         extruded=vxu is not None,
     )
-    return ChunkPlanes(iminx, imaxx, iminy, imaxy, cany, raw.band, com)
+    cp = ChunkPlanes(iminx, imaxx, iminy, imaxy, cany, raw.band, com)
+    if return_raw:
+        return cp, raw
+    return cp
 
 
 class RawChunkPlanes(NamedTuple):
@@ -731,6 +734,108 @@ def rebuild_far_list_planes(
         jnp.zeros_like(py) if vy is None else vy,
         ff=ff,
     )
+
+
+def pair_activation(fl: FarList, raw: RawChunkPlanes, *, ff: FarFieldSpec,
+                    radius: float, dt: float, R: int):
+    """Per-pair conservative activation schedule for one cadence block.
+
+    The candidate list covers every pair that can touch within the
+    extrusion horizon — but most listed pairs are *not yet* in contact
+    range at the start of the block, so the per-substep apply wastes
+    capacity on pairs that contribute exactly zero.  This computes, for
+    each listed pair, a LOWER BOUND ``s0`` on the first substep index at
+    which any particle contact is possible, reorders the list by ``s0``
+    (stable; invalid entries last), and returns per-substep active-
+    prefix counts ``n_active[R]`` — the apply at substep ``s`` then
+    crops to ``n_active[s]`` pairs and prices by pairs that can
+    actually matter (the bucket ladder does the cropping).
+
+    Soundness (same contract as the v4 fixed-cadence detection,
+    :func:`extrude_chunk_planes`): per axis, the AABB gap between two
+    chunks shrinks at most at the difference of their velocity extremes
+    per substep, plus a ``skin/2`` per-side allowance for deviation from
+    linear motion over the block.  Contact (``dist < 2r``) additionally
+    requires BOTH axis gaps ≤ 2r simultaneously, so
+    ``s0 = ceil(max(tx, ty))`` with per-axis first-possible times is a
+    true lower bound under the contract.  Gated pairs contribute zero to
+    the reference pair math (compute.wgsl:150-168 applies impulses only
+    below 2r), so gating changes no physics — only f32 summation order
+    (the scatter-add sees a reordered list).
+
+    Returns ``(fl_sorted, n_active)`` with ``n_active`` int32 ``[R]``.
+    """
+    k = fl.capacity
+    # per-chunk field table [cwx*cwy, 8]: raw AABB + velocity extremes
+    # (one small relayout; the pair gathers are then ROW gathers)
+    tab = jnp.stack([
+        raw.minx, raw.maxx, raw.miny, raw.maxy,
+        raw.vminx, raw.vmaxx, raw.vminy, raw.vmaxy,
+    ], axis=-1).reshape(-1, 8)
+    a = tab[fl.ca]                     # [k, 8]
+    b = tab[fl.cb]
+    thr = jnp.float32(2.0 * radius + ff.skin)
+    dtf = jnp.float32(dt)
+
+    def axis_time(amin, amax, bmin, bmax, avmin, avmax, bvmin, bvmax):
+        # first substep count at which the axis gap can reach ``thr``;
+        # at most one direction has positive gap, the other term is 0
+        def t_dir(gap, rate):
+            return jnp.where(
+                gap > thr,
+                (gap - thr) / jnp.maximum(rate * dtf, jnp.float32(1e-30)),
+                jnp.float32(0.0),
+            )
+
+        g1 = bmin - amax                      # b to the right of a
+        r1 = jnp.maximum(avmax - bvmin, 0.0)  # fastest closing of g1
+        g2 = amin - bmax
+        r2 = jnp.maximum(bvmax - avmin, 0.0)
+        return jnp.maximum(t_dir(g1, r1), t_dir(g2, r2))
+
+    tx = axis_time(a[:, 0], a[:, 1], b[:, 0], b[:, 1],
+                   a[:, 4], a[:, 5], b[:, 4], b[:, 5])
+    ty = axis_time(a[:, 2], a[:, 3], b[:, 2], b[:, 3],
+                   a[:, 6], a[:, 7], b[:, 6], b[:, 7])
+    t = jnp.maximum(tx, ty)                  # contact needs both axes
+    s0 = jnp.ceil(jnp.minimum(t, jnp.float32(R))).astype(jnp.int32)
+    # invalid entries sort last (key R+1 > any valid key ≤ R)
+    key = jnp.where(fl.valid, s0, jnp.int32(R + 1))
+    order = jnp.argsort(key, stable=True)
+    key_s = key[order]
+    valid_s = fl.valid[order]
+    n_active = jnp.sum(
+        (key_s[None, :] <= jnp.arange(R, dtype=jnp.int32)[:, None])
+        & valid_s[None, :],
+        axis=1,
+        dtype=jnp.int32,
+    )
+    fl_sorted = dataclasses.replace(
+        fl, ca=fl.ca[order], cb=fl.cb[order], valid=valid_s
+    )
+    return fl_sorted, n_active
+
+
+def rebuild_far_list_planes_active(
+    px: jax.Array,
+    py: jax.Array,
+    alive: jax.Array,
+    *,
+    s: int,
+    ff: FarFieldSpec,
+    radius: float,
+    vx: jax.Array,
+    vy: jax.Array,
+    dt: float,
+    R: int,
+):
+    """:func:`rebuild_far_list_planes` + :func:`pair_activation` in one
+    pass (shares the chunk detection): returns ``(fl, n_active[R])``
+    with the list sorted by activation substep."""
+    cp, raw = _chunk_detection(px, py, alive, s=s, ff=ff, radius=radius,
+                               vxu=vx, vyu=vy, dt=dt, return_raw=True)
+    fl = rebuild_far_list_from_chunks(cp, px, py, vx, vy, ff=ff)
+    return pair_activation(fl, raw, ff=ff, radius=radius, dt=dt, R=R)
 
 
 def rebuild_far_list_from_chunks(

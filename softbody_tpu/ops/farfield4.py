@@ -155,9 +155,8 @@ def far_terms_from_mirror(
     return dtab
 
 
-def bucketed_far_delta_planes(
-    hot: jax.Array,
-    alive_f: jax.Array,
+def bucketed_far_delta_from_fn(
+    planes5_fn,
     fl: FarList,
     *,
     s: int,
@@ -168,32 +167,27 @@ def bucketed_far_delta_planes(
     friction,
     w: int,
     h: int,
-    plane_idx: Tuple[int, int, int, int] = (0, 1, 2, 3),
-    pad: Tuple[int, int] = (0, 0),
     buckets: Tuple[int, ...] = (1024, 4096),
 ):
-    """Bucketed apply: crop the pair list to the smallest capacity
-    bucket ≥ n_pairs so light frames don't pay full-capacity cost;
-    returns dense delta planes ``[5, w, h]`` (zero when no pairs).
-    Takes the PACKED hot stack (``plane_idx`` = the px/py/vx/vy rows,
-    ``pad`` = the stack's interior offset) plus the interior alive
-    plane — interior slicing, the 20 MB planes5 stack, AND the mirror
-    relayout all run INSIDE the non-empty branches, so a pair-free
-    substep pays nothing at all."""
+    """Core bucketed apply over a DEFERRED plane source: crop the pair
+    list to the smallest capacity bucket ≥ n_pairs so light frames
+    don't pay full-capacity cost; returns dense delta planes
+    ``[5, w, h]`` (zero when no pairs).  ``planes5_fn() -> [5, w, h]``
+    (px, py, vx, vy, alive) is called INSIDE the non-empty branches, so
+    whatever stacking/slicing it does costs nothing on pair-free
+    substeps."""
+    # chunk-id decode (cx = id // (h // chunk)) matches the rebuild's
+    # TILE-PADDED chunk-grid encoding only under these alignments
+    assert h % (ff.chunk * ff.tile_chunks) == 0, (
+        f"far apply needs h ({h}) % chunk*tile_chunks "
+        f"({ff.chunk * ff.tile_chunks}) == 0 (chunk-id encode/decode)")
+    assert w % ff.chunk == 0, f"far apply needs w ({w}) % chunk == 0"
     all_buckets = tuple(b for b in buckets if b < ff.max_pairs) + (
         ff.max_pairs,
     )
-    ipx, ipy, ivx, ivy = plane_idx
-    pw, ph = pad
 
     def apply_k(k, _):
-        def interior(p):
-            return jax.lax.slice(p, (pw, ph), (pw + w, ph + h))
-
-        planes5 = jnp.stack([
-            interior(hot[ipx]), interior(hot[ipy]),
-            interior(hot[ivx]), interior(hot[ivy]), alive_f,
-        ])
+        planes5 = planes5_fn()
         flk = crop_far_list(fl, k)
         kwargs = dict(s=s, ff=ff, radius=radius, dt=dt, ecoeff=ecoeff,
                       friction=friction, w=w, h=h)
@@ -214,6 +208,46 @@ def bucketed_far_delta_planes(
         branches.append(functools.partial(apply_k, b))
     return jax.lax.switch(
         (fl.n_pairs > 0).astype(jnp.int32) * (bidx + 1), branches, None
+    )
+
+
+def bucketed_far_delta_planes(
+    hot: jax.Array,
+    alive_f: jax.Array,
+    fl: FarList,
+    *,
+    s: int,
+    ff: FarFieldSpec,
+    radius,
+    dt,
+    ecoeff,
+    friction,
+    w: int,
+    h: int,
+    plane_idx: Tuple[int, int, int, int] = (0, 1, 2, 3),
+    pad: Tuple[int, int] = (0, 0),
+    buckets: Tuple[int, ...] = (1024, 4096),
+):
+    """Bucketed apply over the PACKED hot stack (``plane_idx`` = the
+    px/py/vx/vy rows, ``pad`` = the stack's interior offset) plus the
+    interior alive plane — interior slicing and the 20 MB planes5 stack
+    both run inside the non-empty branches
+    (:func:`bucketed_far_delta_from_fn`)."""
+    ipx, ipy, ivx, ivy = plane_idx
+    pw, ph = pad
+
+    def planes5_fn():
+        def interior(p):
+            return jax.lax.slice(p, (pw, ph), (pw + w, ph + h))
+
+        return jnp.stack([
+            interior(hot[ipx]), interior(hot[ipy]),
+            interior(hot[ivx]), interior(hot[ivy]), alive_f,
+        ])
+
+    return bucketed_far_delta_from_fn(
+        planes5_fn, fl, s=s, ff=ff, radius=radius, dt=dt, ecoeff=ecoeff,
+        friction=friction, w=w, h=h, buckets=buckets,
     )
 
 

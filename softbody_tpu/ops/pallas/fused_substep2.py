@@ -51,6 +51,7 @@ agree to tolerance, not bitwise; quantized spring sums stay bit-exact.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -991,7 +992,12 @@ def fused_substep2_call(hot, immut, consts_vec, *, w: int, h: int,
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
+            # v5e VMEM is 128 MiB; the default 120 MiB scoped limit
+            # rejects tile_w=128 at 1M by 2.2 MiB (r3 sweep log), so
+            # allow up to 126 and keep an env knob for experiments
+            vmem_limit_bytes=int(
+                os.environ.get("FUSED2_VMEM_MB", "126")
+            ) * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)
@@ -1465,14 +1471,15 @@ def packed_far_motion2(hot, immut, fl):
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "cfg", "ffspec", "tile_w", "interpret",
-                     "n_sub", "observe", "buckets"),
+                     "n_sub", "observe", "buckets", "activation"),
     donate_argnames=("hot", "obs"),
 )
 def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
                  uin: UserInput, spec, cfg: StaticConfig, ffspec,
                  tile_w: int = 128, interpret: bool = False,
                  n_sub: Optional[int] = None, observe: bool = True,
-                 buckets: Tuple[int, ...] = (1024, 2048, 4096)):
+                 buckets: Tuple[int, ...] = (256, 1024, 2048, 4096),
+                 activation: bool = True):
     """v4 far-field frame: fixed-cadence unconditional rebuilds + the
     mirror-table pair apply (ops/farfield4.py — design and measured
     rationale there).
@@ -1484,10 +1491,22 @@ def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
     graph is one substep body + one rebuild (+ the bucket variants of
     the apply).
 
+    With ``activation`` (default), the rebuild also computes each
+    pair's conservative first-contact substep and per-substep active
+    prefix counts (ops/farfield.py::pair_activation) — substep ``s``'s
+    apply then prices by the pairs that can actually touch by ``s``,
+    not the whole candidate list.  Physics is unchanged (gated pairs
+    contribute exactly zero); only f32 scatter-add order differs.
+
     Returns ``(hot', obs', stats)`` with ``stats = int32[3]``:
     (rebuilds, max n_pairs, max overflow) over the frame.
     """
-    from ..farfield import rebuild_far_list_planes
+    import dataclasses as _dc
+
+    from ..farfield import (
+        rebuild_far_list_planes,
+        rebuild_far_list_planes_active,
+    )
     from ..farfield4 import bucketed_far_delta_planes
 
     ff = ffspec
@@ -1519,14 +1538,32 @@ def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
     rem = n % R
 
     def rebuild(m):
-        return rebuild_far_list_planes(
+        if activation:
+            return rebuild_far_list_planes_active(
+                interior(m[PX]), interior(m[PY]), alive_int,
+                s=spec.collision_stencil, ff=ff,
+                radius=cfg.particle_radius, vx=interior(m[VX]),
+                vy=interior(m[VY]), dt=cfg.dt, R=R,
+            )
+        fl = rebuild_far_list_planes(
             interior(m[PX]), interior(m[PY]), alive_int,
             s=spec.collision_stencil, ff=ff,
             radius=cfg.particle_radius, vx=interior(m[VX]),
             vy=interior(m[VY]), dt=cfg.dt,
         )
+        return fl, None
 
-    def substep(m, fl, obs_in=None):
+    def substep(m, fl, n_act_s=None, obs_in=None):
+        if n_act_s is not None:
+            # active-prefix crop for this substep: the list is sorted by
+            # activation substep, so the first n_act_s entries are
+            # exactly the pairs that can touch by now
+            fl = _dc.replace(
+                fl,
+                n_pairs=n_act_s,
+                valid=fl.valid
+                & (jnp.arange(fl.capacity, dtype=jnp.int32) < n_act_s),
+            )
         far_int = bucketed_far_delta_planes(
             m, alive_int_f, fl, s=spec.collision_stencil, ff=ff,
             radius=cfg.particle_radius, dt=cfg.dt,
@@ -1540,39 +1577,40 @@ def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
                                    **kw)
 
     def block(m, n_inner):
-        fl = rebuild(m)
+        fl, n_act = rebuild(m)
 
-        def inner(mm, _):
-            return substep(mm, fl), None
+        def inner(mm, s_idx):
+            return substep(mm, fl,
+                           None if n_act is None else n_act[s_idx]), None
 
-        m, _ = jax.lax.scan(inner, m, None, length=n_inner)
-        return m, fl
+        m, _ = jax.lax.scan(inner, m,
+                            jnp.arange(n_inner, dtype=jnp.int32))
+        # max active pairs in the block (counts are monotone in s)
+        na = fl.n_pairs if n_act is None else n_act[n_inner - 1]
+        return m, fl, na
 
-    st = jnp.zeros((3,), jnp.int32)
+    # stats int32[4]: rebuilds, max n_pairs, max overflow, max active
+    st = jnp.zeros((4,), jnp.int32)
 
-    def outer(carry, _):
-        m, st_ = carry
-        m, fl = block(m, R)
-        st_ = jnp.stack([
-            st_[0] + 1,
-            jnp.maximum(st_[1], fl.n_pairs),
-            jnp.maximum(st_[2], fl.overflow),
-        ])
-        return (m, st_), None
-
-    def merge_st(st_, fl):
+    def merge_st(st_, fl, na):
         return jnp.stack([
             st_[0] + 1,
             jnp.maximum(st_[1], fl.n_pairs),
             jnp.maximum(st_[2], fl.overflow),
+            jnp.maximum(st_[3], na),
         ])
+
+    def outer(carry, _):
+        m, st_ = carry
+        m, fl, na = block(m, R)
+        return (m, merge_st(st_, fl, na)), None
 
     if not observe:
         (hot, st), _ = jax.lax.scan(outer, (hot, st), None,
                                     length=n_outer)
         if rem:
-            hot, fl = block(hot, rem)
-            st = merge_st(st, fl)
+            hot, fl, na = block(hot, rem)
+            st = merge_st(st, fl, na)
         return _zero_pads(hot, spec, tile_w), obs, st
 
     # last block (remainder size, or a full R) ends with the observing
@@ -1582,14 +1620,19 @@ def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
     if n_full_before > 0:
         (hot, st), _ = jax.lax.scan(outer, (hot, st), None,
                                     length=n_full_before)
-    fl = rebuild(hot)
+    fl, n_act = rebuild(hot)
 
-    def inner(mm, _):
-        return substep(mm, fl), None
+    def inner(mm, s_idx):
+        return substep(mm, fl,
+                       None if n_act is None else n_act[s_idx]), None
 
     if last > 1:
-        hot, _ = jax.lax.scan(inner, hot, None, length=last - 1)
-    hot, obs = substep(hot, fl, obs_in=obs)
-    st = merge_st(st, fl)
+        hot, _ = jax.lax.scan(inner, hot,
+                              jnp.arange(last - 1, dtype=jnp.int32))
+    hot, obs = substep(hot, fl,
+                       None if n_act is None else n_act[last - 1],
+                       obs_in=obs)
+    st = merge_st(st, fl,
+                  fl.n_pairs if n_act is None else n_act[last - 1])
     return (_zero_pads(hot, spec, tile_w), _zero_pads(obs, spec, tile_w),
             st)

@@ -193,7 +193,7 @@ def _classify(cell_of: np.ndarray, ba: np.ndarray, bb: np.ndarray,
 def planify(state: SimState, *, dense_reach: int = 3,
             slack: float = 1.35, lane_multiple: int = 8,
             exception_pad: int = 32, collision_stencil: int = 2,
-            width: Optional[int] = None):
+            width: Optional[int] = None, chunk_multiple: int = 1):
     """Embed a SimState into a plane layout.
 
     Returns ``(PlanifiedState, LatticeSpec, PlanifyAux)``.  Host-side
@@ -216,10 +216,21 @@ def planify(state: SimState, *, dense_reach: int = 3,
     bb = np.asarray(state.beam_b, np.int64)
     balive = np.asarray(state.beam_alive)
 
+    # ``chunk_multiple``: far-armed embeddings need chunk-grid-aligned
+    # dims for the v4 apply's chunk-id decode (farfield4): the LANE dim
+    # must be a multiple of chunk·tile_chunks (the decode's cwy = h//4
+    # must equal the rebuild's tile-padded chunk grid), while the width
+    # only needs the 4-row record alignment — rounding w any harder
+    # shifts the cell mapping and explodes the exception-beam count
+    # (measured: w 636→848 cost 1.8k→23k exceptions on config 3)
+    cm = max(1, chunk_multiple)
     w0 = max(4, int(round(np.sqrt(n * aspect))))
     cands = [w0, _round_up(w0, 4)] if width is None else [width]
     for f in (0.85, 1.0, 1.15):
         cands.append(max(4, _round_up(int(w0 * f * np.sqrt(slack)), 4)))
+    if cm > 1:
+        cands = [_round_up(c, 4) for c in cands]
+    lane_multiple = max(lane_multiple, cm)
     best = None
     wh = []
     for w in sorted(set(cands)):
@@ -429,7 +440,8 @@ def planified_substep(ps: PlanifiedState, consts: PhysicsConstants,
                       uin: UserInput, spec: LatticeSpec,
                       cfg: StaticConfig,
                       update_observability: bool = True,
-                      far=None, ffspec=None) -> PlanifiedState:
+                      far=None, ffspec=None,
+                      far_delta=None) -> PlanifiedState:
     """One substep: exception pass (tiny gathers/scatters) merged into
     the dense stencil substep's fixed-point accumulator."""
     extra, x2 = _exception_pass(ps.lat, ps.x, cfg)
@@ -437,6 +449,7 @@ def planified_substep(ps: PlanifiedState, consts: PhysicsConstants,
         ps.lat, consts, uin, spec, cfg,
         update_observability=update_observability,
         far=far, ffspec=ffspec, extra_force=extra,
+        far_delta=far_delta,
     )
     return PlanifiedState(lat=lat2, x=x2)
 
@@ -484,7 +497,8 @@ def planified_frame_far(ps: PlanifiedState, consts: PhysicsConstants,
 
     Returns ``(ps', stats)`` with ``stats = int32[3]``: (rebuilds,
     max n_pairs, max overflow) over the frame."""
-    from .farfield import rebuild_far_list_planes
+    from .farfield import rebuild_far_list_planes_active
+    from .farfield4 import bucketed_far_delta_from_fn
 
     n = cfg.subticks if n_sub is None else n_sub
     R = min(ffspec.horizon, n)
@@ -492,40 +506,67 @@ def planified_frame_far(ps: PlanifiedState, consts: PhysicsConstants,
     rem = n % R
 
     def rebuild(s):
-        return rebuild_far_list_planes(
+        # activation schedule (pair_activation): list sorted by first-
+        # possible-contact substep + per-substep active prefix counts
+        return rebuild_far_list_planes_active(
             s.lat.pos[..., 0], s.lat.pos[..., 1], s.lat.alive,
             s=spec.collision_stencil, ff=ffspec,
             radius=cfg.particle_radius,
-            vx=s.lat.vel[..., 0], vy=s.lat.vel[..., 1], dt=cfg.dt,
+            vx=s.lat.vel[..., 0], vy=s.lat.vel[..., 1], dt=cfg.dt, R=R,
         )
 
-    def substep(s, fl, update_obs):
+    def substep(s, fl, n_act_s, update_obs):
+        # v4 bucketed apply (ops/farfield4.py): the old per-substep
+        # far_collision_terms apply at full K cost ~12 ms/substep at the
+        # config-3 plane (windowed element gathers, probe_config3b);
+        # the bucketed narrow/mirror apply prices by live pairs instead,
+        # cropped to the substep's active prefix
+        fl_s = dataclasses.replace(
+            fl, n_pairs=n_act_s,
+            valid=fl.valid
+            & (jnp.arange(fl.capacity, dtype=jnp.int32) < n_act_s),
+        )
+        delta = bucketed_far_delta_from_fn(
+            lambda: jnp.stack([
+                s.lat.pos[..., 0], s.lat.pos[..., 1],
+                s.lat.vel[..., 0], s.lat.vel[..., 1],
+                s.lat.alive.astype(jnp.float32),
+            ]),
+            fl_s, s=spec.collision_stencil, ff=ffspec,
+            radius=cfg.particle_radius, dt=cfg.dt,
+            ecoeff=(consts.elasticity + 1.0) * 0.5,
+            friction=consts.friction,
+            w=spec.width, h=spec.height,
+        )
         return planified_substep(s, consts, uin, spec, cfg,
                                  update_observability=update_obs,
-                                 far=fl, ffspec=ffspec)
+                                 far_delta=delta, ffspec=ffspec)
 
     def block(s, n_inner):
-        fl = rebuild(s)
+        fl, n_act = rebuild(s)
 
-        def inner(ss, _):
-            return substep(ss, fl, False), None
+        def inner(ss, s_idx):
+            return substep(ss, fl, n_act[s_idx], False), None
 
-        s, _ = jax.lax.scan(inner, s, None, length=n_inner)
-        return s, fl
+        s, _ = jax.lax.scan(inner, s,
+                            jnp.arange(n_inner, dtype=jnp.int32))
+        return s, fl, n_act[n_inner - 1]
 
-    def merge_st(st_, fl):
+    # stats int32[4]: rebuilds, max n_pairs, max overflow, max active
+    def merge_st(st_, fl, na):
         return jnp.stack([
             st_[0] + 1,
             jnp.maximum(st_[1], fl.n_pairs),
             jnp.maximum(st_[2], fl.overflow),
+            jnp.maximum(st_[3], na),
         ])
 
-    st = jnp.zeros((3,), jnp.int32)
+    st = jnp.zeros((4,), jnp.int32)
 
     def outer(carry, _):
         s, st_ = carry
-        s, fl = block(s, R)
-        return (s, merge_st(st_, fl)), None
+        s, fl, na = block(s, R)
+        return (s, merge_st(st_, fl, na)), None
 
     # last block ends with the observing substep; full blocks before it
     # ride the outer scan (mirrors fused_frame4's structure)
@@ -534,14 +575,15 @@ def planified_frame_far(ps: PlanifiedState, consts: PhysicsConstants,
     if n_full_before > 0:
         (ps, st), _ = jax.lax.scan(outer, (ps, st), None,
                                    length=n_full_before)
-    fl = rebuild(ps)
+    fl, n_act = rebuild(ps)
     if last > 1:
-        def inner(ss, _):
-            return substep(ss, fl, False), None
+        def inner(ss, s_idx):
+            return substep(ss, fl, n_act[s_idx], False), None
 
-        ps, _ = jax.lax.scan(inner, ps, None, length=last - 1)
-    ps = substep(ps, fl, True)
-    st = merge_st(st, fl)
+        ps, _ = jax.lax.scan(inner, ps,
+                             jnp.arange(last - 1, dtype=jnp.int32))
+    ps = substep(ps, fl, n_act[last - 1], True)
+    st = merge_st(st, fl, n_act[last - 1])
     return ps, st
 
 

@@ -137,6 +137,7 @@ def lattice_substep(
     far=None,
     ffspec=None,
     extra_force=None,
+    far_delta=None,
 ) -> LatticeState:
     """One substep of the dense path (semantics of compute.wgsl:90-203).
 
@@ -285,7 +286,16 @@ def lattice_substep(
             state, consts, spec, cfg, lin_x_offset
         )
 
-    # ---- far-field contacts (index-distant pairs; ops/farfield.py) ----
+    # ---- far-field contacts (index-distant pairs) ----
+    # ``far_delta``: precomputed ``[5, w, h]`` delta planes (dvx dvy dax
+    # day dyn) from the v4 bucketed apply (ops/farfield4.py) — same pair
+    # math as far_collision_terms, but the caller amortizes/buckets it.
+    if far_delta is not None and cfg.collision_mode != "none":
+        dvx = dvx + far_delta[0]
+        dvy = dvy + far_delta[1]
+        dax = dax + far_delta[2]
+        day = day + far_delta[3]
+        dyn = dyn + far_delta[4]
     if far is not None and cfg.collision_mode != "none":
         from .farfield import far_collision_terms
 

@@ -213,6 +213,73 @@ def test_backend_far_buckets_override():
                                rtol=0, atol=1e-4)
 
 
+def test_activation_schedule_conservative_under_linear_motion():
+    """pair_activation's per-substep active prefix must cover every pair
+    the full apply finds to contribute, at every substep of the cadence
+    block.  Positions evolve EXACTLY linearly (p += v·dt), which is
+    inside the schedule's contract (zero deviation from the linear
+    reference), so the gated apply must equal the full apply at every
+    substep — not just approximately cover it."""
+    from softbody_tpu.ops.farfield import rebuild_far_list_planes_active
+    from softbody_tpu.ops.farfield4 import far_delta_planes_narrow
+
+    px, py, vx, vy, alive = _fold_planes(seed=3)
+    # amplify approach speeds so some pairs activate mid-block
+    vx, vy = vx * 40.0, vy * 40.0
+    w, h = px.shape
+    ff = FarFieldSpec(max_pairs=128, max_tile_pairs=32, skin=2.0,
+                      horizon=8)
+    R, dt = 8, 1 / 64
+    fl, n_act = rebuild_far_list_planes_active(
+        px, py, alive, s=2, ff=ff, radius=1.5, vx=vx, vy=vy, dt=dt, R=R)
+    n_act = np.asarray(n_act)
+    assert int(fl.n_pairs) > 0
+    assert (np.diff(n_act) >= 0).all(), "active counts must be monotone"
+    assert n_act[-1] <= int(fl.n_pairs)
+    kw = dict(s=2, ff=ff, radius=1.5, dt=dt, ecoeff=0.75, friction=0.1,
+              w=w, h=h)
+    k = fl.capacity
+    for s in range(R):
+        planes5 = jnp.stack([px + vx * (dt * s), py + vy * (dt * s),
+                             vx, vy, alive.astype(jnp.float32)])
+        full = far_delta_planes_narrow(planes5, fl, **kw)
+        fl_s = dataclasses.replace(
+            fl, n_pairs=jnp.int32(n_act[s]),
+            valid=fl.valid & (jnp.arange(k) < n_act[s]))
+        gated = far_delta_planes_narrow(planes5, fl_s, **kw)
+        np.testing.assert_allclose(np.asarray(gated), np.asarray(full),
+                                   rtol=0, atol=1e-5,
+                                   err_msg=f"substep {s}: gated apply "
+                                   f"lost contributions "
+                                   f"(n_act={n_act[s]}/{int(fl.n_pairs)})")
+
+
+def test_v4_frame_activation_on_off_parity():
+    """fused_frame4 with the activation schedule must reproduce the
+    ungated frame bit-for-bit up to f32 scatter order (gated pairs
+    contribute exactly zero) on the folding hairpin."""
+    ls = hairpin()
+    w, h = ls.shape
+    spec = LatticeSpec(w, h, collision_stencil=2)
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+    outs = {}
+    for act in (False, True):
+        hot, obs, immut, ec = pack_lattice2(ls, tile_w=8)
+        for _ in range(2):
+            hot, obs, st = fused_frame4(
+                hot, obs, immut, ec, consts, uin, spec, CFG, FF,
+                tile_w=8, interpret=True, buckets=(4, 16),
+                activation=act)
+        got = unpack_lattice2(hot, obs, ls)
+        outs[act] = (np.asarray(got.pos), np.asarray(got.vel),
+                     np.asarray(st))
+    assert outs[True][2][1] > 0, "no far pairs on the fold"
+    np.testing.assert_allclose(outs[True][0], outs[False][0],
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(outs[True][1], outs[False][1],
+                               rtol=0, atol=1e-3)
+
+
 def test_v4_overflow_accounted():
     """With a deliberately tiny pair capacity the fold must report
     nonzero overflow through the frame stats (the reference never drops

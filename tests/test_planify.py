@@ -235,8 +235,10 @@ def test_planified_far_field_restores_post_embedding_fold_contact():
     }
     s_pack = _build(pos, beams, lengths, props)
 
-    # embed the FLAT strip (this is the state the layout knows about)
-    ps, spec, aux = planify(s_pack, collision_stencil=3)
+    # embed the FLAT strip (this is the state the layout knows about);
+    # far-armed embeddings need chunk-grid-aligned plane dims (16)
+    ps, spec, aux = planify(s_pack, collision_stencil=3,
+                            chunk_multiple=16)
 
     # then the world moves on: the left third folds over onto the right
     # third — spatially touching, embedding-distant (~16 columns apart)
