@@ -73,6 +73,15 @@ def main() -> int:
             n_particles=n_target, fall_speed=fall_speed, slits=slits,
             strain_limit=0.22, yield_strain=0.18,
         )
+        # BENCH_STENCIL: kernel near-field chebyshev radius (default from
+        # the scene, r=2).  A wider stencil absorbs tear-front band pairs
+        # (index distance ≤ r) into dense in-kernel compute, shrinking
+        # the far pair list.
+        st_env = os.environ.get("BENCH_STENCIL", "")
+        if st_env:
+            import dataclasses as _dc
+
+            spec = _dc.replace(spec, collision_stencil=int(st_env))
         w, h = lstate.shape
         n = w * h
         m = sum(int(np.asarray(e.alive).sum()) for e in lstate.edges)
