@@ -116,7 +116,7 @@ def main() -> int:
         bk_env = os.environ.get("BENCH_FAR_BUCKETS", "")
         far_buckets = (tuple(int(x) for x in bk_env.split(","))
                        if bk_env else None)
-        far_act = os.environ.get("BENCH_FAR_ACTIVATION", "1") != "0"
+        far_act = os.environ.get("BENCH_FAR_ACTIVATION", "0") != "0"
         backend = FusedLatticeBackend(spec, cfg, farfield=ff,
                                       tile_w=tile_w, far_mode=far_mode,
                                       far_buckets=far_buckets,

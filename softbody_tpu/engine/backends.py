@@ -364,7 +364,7 @@ class FusedLatticeBackend(LatticeBackend):
     def __init__(self, spec, cfg: StaticConfig, farfield=None,
                  tile_w: int = 128, far_mode: str = "v4",
                  far_buckets: Optional[Tuple[int, ...]] = None,
-                 far_activation: bool = True) -> None:
+                 far_activation: bool = False) -> None:
         super().__init__(spec, cfg, farfield=farfield)
         self.tile_w = tile_w
         # "v4": fixed-cadence rebuilds + mirror-table apply (the round-3
@@ -376,7 +376,11 @@ class FusedLatticeBackend(LatticeBackend):
         self.far_buckets = far_buckets
         # per-substep active-prefix schedule (ops/farfield.py::
         # pair_activation): the apply prices by pairs that can touch by
-        # the current substep, not the whole candidate list (v4 only)
+        # the current substep, not the whole candidate list (v4 only).
+        # Default OFF here: at the 1M tear the list is already
+        # all-active (far_active 1028/1031) while the schedule costs
+        # +2.8 ms per rebuild (probe_r5b) — it pays on sparse/onset
+        # workloads, e.g. the planified path keeps it on
         self.far_activation = far_activation
         self._immut = None
         self._edge_consts = None

@@ -887,39 +887,37 @@ def rebuild_far_list_from_chunks(
         valid = jnp.arange(kk) < n
         return ca, cb, valid, n, total - n
 
-    # band: [5, cwx, cwy] — tiny; five flat row gathers make the strip
-    band_any = jnp.any(band_stack, axis=0)
-    b_nchunks = jnp.sum(band_any.astype(jnp.int32))
-    b_idx = _nz(band_any, mc)
-    b_ok = jnp.arange(mc) < jnp.minimum(b_nchunks, mc)
-    b_rows = jnp.stack(
-        [band_stack[i].reshape(-1)[b_idx] for i in range(band_stack.shape[0])],
-        axis=1,
-    ) & b_ok[:, None]
-    band_ca, band_cb, band_valid, b_n, b_over = strip_extract(
-        b_rows, b_idx, jnp.asarray(adj_offsets, jnp.int32),
-        jnp.sum(band_stack.astype(jnp.int32)),
-    )
-
-    # annulus: the strip is read straight out of detection's per-chunk
-    # offset bitmask — n_words row-gathers + a vectorized bit expansion,
-    # no window gather, no re-testing
+    # band + annulus share ONE hit-chunk compaction (they flag largely
+    # the same chunks at a fold): a single 65k-plane ``_nz`` and a
+    # single merged strip [mc, 5 + n_off_a] replace the former
+    # per-source pair of plane sorts + strip sorts — measured 3.47 ms
+    # rebuild at 1M was part-bound by exactly these (probe_r5b)
     n_off_a = len(ann_offsets)
     n_words = ann_words.shape[0]
-    a_nchunks = jnp.sum(ann_any.astype(jnp.int32))
-    a_idx = _nz(ann_any, mc)
-    a_ok = jnp.arange(mc) < jnp.minimum(a_nchunks, mc)
+    band_any = jnp.any(band_stack, axis=0)
+    hit_any = band_any | ann_any
+    h_nchunks = jnp.sum(hit_any.astype(jnp.int32))
+    h_idx = _nz(hit_any, mc)
+    h_ok = jnp.arange(mc) < jnp.minimum(h_nchunks, mc)
+    b_rows = jnp.stack(
+        [band_stack[i].reshape(-1)[h_idx] for i in range(band_stack.shape[0])],
+        axis=1,
+    )  # [mc, 5]
     words = jnp.stack(
-        [ann_words[i].reshape(-1)[a_idx] for i in range(n_words)], axis=1
+        [ann_words[i].reshape(-1)[h_idx] for i in range(n_words)], axis=1
     )  # [mc, n_words]
     bits = (
         (words[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)[None, None, :])
         & jnp.uint32(1)
     ).reshape(mc, n_words * 32)[:, :n_off_a]
-    a_rows = (bits > 0) & a_ok[:, None]  # [mc, n_off_a]
-    ann_ca, ann_cb, ann_valid, a_n, a_over = strip_extract(
-        a_rows, a_idx, jnp.asarray(ann_offsets, jnp.int32),
-        jnp.sum(ann_count),
+    ba_rows = jnp.concatenate([b_rows, bits > 0], axis=1) & h_ok[:, None]
+    ba_offs = jnp.concatenate([
+        jnp.asarray(adj_offsets, jnp.int32),
+        jnp.asarray(ann_offsets, jnp.int32),
+    ])
+    ban_ca, ban_cb, ban_valid, ba_n, ba_over = strip_extract(
+        ba_rows, h_idx, ba_offs,
+        jnp.sum(band_stack.astype(jnp.int32)) + jnp.sum(ann_count),
     )
 
     # far: entry (pair, i, j) → (ca_ids[pair, i], cb_ids[pair, j]);
@@ -945,27 +943,36 @@ def rebuild_far_list_from_chunks(
     far_valid = jnp.arange(kkf) < f_n
     f_over = f_total - f_n
 
-    ca = jnp.concatenate([band_ca, ann_ca, far_ca])
-    cb = jnp.concatenate([band_cb, ann_cb, far_cb])
-    valid = jnp.concatenate([band_valid, ann_valid, far_valid])
-    # canonical order ca <= cb
-    lo = jnp.minimum(ca, cb)
-    hi = jnp.maximum(ca, cb)
+    # pack the two sources (each already valid-prefix packed by its
+    # ``_nz``) with two dynamic-slice writes instead of sorting the
+    # whole concat: write band+ann's full strip at 0, then far's at
+    # offset ba_n — far's live prefix lands right after band+ann's and
+    # overwrites its dead tail.  (The former stable argsort over the
+    # ~49k concat was a measurable slice of the 3.47 ms rebuild.)
+    kb = ban_ca.shape[0]
+    kf = far_ca.shape[0]
+    buf = kb + kf
 
-    # pack valid entries first, then crop/pad to exactly capacity k2
-    # (strip caps can make the concat shorter than k2; carried FarLists
-    # must keep a static [k2] shape across scan/cond boundaries)
-    order = jnp.argsort(~valid, stable=True)
-    lo, hi, valid = lo[order][:k2], hi[order][:k2], valid[order][:k2]
+    def pack(a_src, b_src):
+        out = jnp.zeros((buf,), a_src.dtype)
+        out = jax.lax.dynamic_update_slice(out, a_src, (0,))
+        return jax.lax.dynamic_update_slice(out, b_src, (ba_n,))
+
+    ca = pack(ban_ca, far_ca)
+    cb = pack(ban_cb, far_cb)
+    # canonical order ca <= cb
+    lo = jnp.minimum(ca, cb)[:k2]
+    hi = jnp.maximum(ca, cb)[:k2]
+    total = ba_n + f_n
+    n_pairs = jnp.minimum(total, k2)
+    valid = jnp.arange(k2) < n_pairs
     short = k2 - lo.shape[0]
     if short > 0:
         lo = jnp.pad(lo, (0, short))
         hi = jnp.pad(hi, (0, short))
-        valid = jnp.pad(valid, (0, short))
-    total = b_n + a_n + f_n
-    n_pairs = jnp.minimum(total, k2)
+        valid = jnp.pad(valid, (0, short)) if valid.shape[0] < k2 else valid
     overflow = (
-        b_over + a_over + f_over
+        ba_over + f_over
         + jnp.maximum(total - k2, 0) + tile_overflow
     )
 

@@ -191,9 +191,14 @@ def bucketed_far_delta_from_fn(
         flk = crop_far_list(fl, k)
         kwargs = dict(s=s, ff=ff, radius=radius, dt=dt, ecoeff=ecoeff,
                       friction=friction, w=w, h=h)
-        if k <= 2048:
-            # narrow-row variant: traffic ∝ K (20 rows/side), no
-            # relayout — wins below ~2k pairs (module docstring)
+        if k <= 256:
+            # narrow-row variant: traffic ∝ K (40 rows/pair), no
+            # relayout.  Scan-amortized 1M measurements (probe_r5b;
+            # earlier per-call timings were dispatch-bound): narrow
+            # 1.24 ms @1024 / 1.92 @2048 vs mirror 0.57 @2048 /
+            # 0.74 @4096 — the mirror's fixed relayout (~0.5 ms)
+            # beats narrow's row traffic well below 1k pairs, so
+            # narrow only pays for near-empty buckets
             return far_delta_planes_narrow(planes5, flk, **kwargs)
         table = mirror_table(planes5)
         dtab = far_terms_from_mirror(table, flk, **kwargs)

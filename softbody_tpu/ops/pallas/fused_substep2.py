@@ -1478,8 +1478,8 @@ def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
                  uin: UserInput, spec, cfg: StaticConfig, ffspec,
                  tile_w: int = 128, interpret: bool = False,
                  n_sub: Optional[int] = None, observe: bool = True,
-                 buckets: Tuple[int, ...] = (256, 1024, 2048, 4096),
-                 activation: bool = True):
+                 buckets: Tuple[int, ...] = (1024, 2048, 4096),
+                 activation: bool = False):
     """v4 far-field frame: fixed-cadence unconditional rebuilds + the
     mirror-table pair apply (ops/farfield4.py — design and measured
     rationale there).
