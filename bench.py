@@ -23,6 +23,13 @@ def log(msg: str) -> None:
 
 
 def main() -> int:
+    # persistent compilation cache: the 1M frame program compiles in
+    # ~60-90 s; cache hits cut repeat runs (same code, same shapes) to
+    # seconds.  Set BENCH_NO_CACHE=1 to measure cold compiles.
+    if os.environ.get("BENCH_NO_CACHE", "") != "1":
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                              "/root/.cache/jax_comp_cache")
+
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -117,10 +124,12 @@ def main() -> int:
         far_buckets = (tuple(int(x) for x in bk_env.split(","))
                        if bk_env else None)
         far_act = os.environ.get("BENCH_FAR_ACTIVATION", "0") != "0"
+        far_mb = int(os.environ.get("BENCH_FAR_MB", 32))
         backend = FusedLatticeBackend(spec, cfg, farfield=ff,
                                       tile_w=tile_w, far_mode=far_mode,
                                       far_buckets=far_buckets,
-                                      far_activation=far_act)
+                                      far_activation=far_act,
+                                      far_mb=far_mb)
         packed = backend.pack_state(lstate)
 
         class _Packed:

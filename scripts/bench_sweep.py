@@ -29,10 +29,13 @@ def log(msg: str) -> None:
 # far_k.  Baseline mirrors bench.py defaults (tile_w 64, v4, K 16384,
 # cadence 8, skin 0.75·spacing, fragile fabric, 7 slits).
 CONFIGS = [
-    ("base", {}),       # = activation schedule + (256,1024,2048,4096)
-    ("noact", {"activation": False, "buckets": (1024, 2048, 4096)}),
-    ("act_fine", {"buckets": (64, 256, 1024, 2048, 4096)}),
+    ("base", {}),       # = bench.py defaults (no activation, mb 32)
+    ("act", {"activation": True}),
+    ("act_fine", {"activation": True,
+                  "buckets": (64, 256, 1024, 2048, 4096)}),
     ("tile128", {"tile_w": 128}),
+    ("mb128", {"far_mb": 128}),
+    ("mb128_tile128", {"far_mb": 128, "tile_w": 128}),
     ("buckets1280", {"buckets": (1280, 2048, 4096)}),  # fits the ~1062
     ("buckets2048", {"buckets": (2048,)}),
     ("buckets4096", {"buckets": (4096,)}),  # mirror path at benched load
@@ -90,7 +93,8 @@ def main() -> int:
             backend = FusedLatticeBackend(
                 spec, cfg, farfield=ff, tile_w=tile_w,
                 far_mode=ov.get("far_mode", "v4"), far_buckets=buckets,
-                far_activation=ov.get("activation", True))
+                far_activation=ov.get("activation", False),
+                far_mb=ov.get("far_mb", 32))
             state = backend.pack_state(lstate)
 
             t0 = time.time()

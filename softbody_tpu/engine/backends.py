@@ -364,7 +364,8 @@ class FusedLatticeBackend(LatticeBackend):
     def __init__(self, spec, cfg: StaticConfig, farfield=None,
                  tile_w: int = 128, far_mode: str = "v4",
                  far_buckets: Optional[Tuple[int, ...]] = None,
-                 far_activation: bool = False) -> None:
+                 far_activation: bool = False,
+                 far_mb: int = 32) -> None:
         super().__init__(spec, cfg, farfield=farfield)
         self.tile_w = tile_w
         # "v4": fixed-cadence rebuilds + mirror-table apply (the round-3
@@ -382,6 +383,9 @@ class FusedLatticeBackend(LatticeBackend):
         # +2.8 ms per rebuild (probe_r5b) — it pays on sparse/onset
         # workloads, e.g. the planified path keeps it on
         self.far_activation = far_activation
+        # record lane-block width for the mirror apply (32 or 128; wider
+        # blocks coarsen the per-substep relayout — farfield4.mirror_table)
+        self.far_mb = far_mb
         self._immut = None
         self._edge_consts = None
         self._template = None
@@ -450,7 +454,8 @@ class FusedLatticeBackend(LatticeBackend):
             hot, obs, st = fused_frame4(
                 hot, obs, self._immut, self._edge_consts, consts, uin,
                 self.spec, self.cfg, self.ff, tile_w=self.tile_w,
-                interpret=interp, activation=self.far_activation, **bkw,
+                interpret=interp, activation=self.far_activation,
+                far_mb=self.far_mb, **bkw,
             )
             if self._stats_acc is None:
                 self._stats_acc = st

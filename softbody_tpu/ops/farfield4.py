@@ -53,36 +53,44 @@ from .farfield import (
     far_pair_contributions,
 )
 
-MB = 32          # lanes per record block
+MB = 32          # lanes per record block (default; see ``mb=`` params)
 RX = 4           # plane rows per record (== FarFieldSpec.chunk)
 NF = 5           # px py vx vy alive
-REC = NF * RX * MB   # 640 floats per record row
+REC = NF * RX * MB   # 640 floats per record row (at the default mb)
 
 
-def _mh(h: int) -> int:
-    return -(-h // MB) * MB
+def _mh(h: int, mb: int = MB) -> int:
+    return -(-h // mb) * mb
 
 
-def mirror_table(planes: jax.Array) -> jax.Array:
-    """``[5, W, H]`` (px, py, vx, vy, alive) → ``[(Hm/32)·(W/4), 640]``
-    record table, b-major (row = b·(W/4) + cx)."""
+def mirror_table(planes: jax.Array, *, mb: int = MB) -> jax.Array:
+    """``[5, W, H]`` (px, py, vx, vy, alive) → ``[(Hm/mb)·(W/4),
+    5·4·mb]`` record table, b-major (row = b·(W/4) + cx).
+
+    ``mb`` is the record lane-block width: 32 is the smallest
+    granularity XLA relayouts handle fast (probe_v4g); wider blocks
+    (128) make the relayout coarser-grained (fewer, larger contiguous
+    units) at the price of 4× wider gather rows — rows price by count,
+    not width (cost model in the module docstring), so the relayout is
+    the term that moves."""
     five, w, h = planes.shape
-    hm = _mh(h)
+    hm = _mh(h, mb)
     if hm != h:
         planes = jnp.pad(planes, ((0, 0), (0, 0), (0, hm - h)))
-    nb = hm // MB
+    nb = hm // mb
     cw = w // RX
     # (f, cx, ix, b, iy) → (b, cx, f, ix, iy)
-    t = planes.reshape(NF, cw, RX, nb, MB).transpose(3, 1, 0, 2, 4)
-    return t.reshape(nb * cw, REC)
+    t = planes.reshape(NF, cw, RX, nb, mb).transpose(3, 1, 0, 2, 4)
+    return t.reshape(nb * cw, NF * RX * mb)
 
 
-def unmirror_table(table: jax.Array, *, w: int, h: int) -> jax.Array:
+def unmirror_table(table: jax.Array, *, w: int, h: int,
+                   mb: int = MB) -> jax.Array:
     """Inverse of :func:`mirror_table` (delta tables → delta planes)."""
-    hm = _mh(h)
-    nb = hm // MB
+    hm = _mh(h, mb)
+    nb = hm // mb
     cw = w // RX
-    t = table.reshape(nb, cw, NF, RX, MB).transpose(2, 1, 3, 0, 4)
+    t = table.reshape(nb, cw, NF, RX, mb).transpose(2, 1, 3, 0, 4)
     planes = t.reshape(NF, w, hm)
     return planes[:, :, :h]
 
@@ -99,39 +107,56 @@ def far_terms_from_mirror(
     friction,
     w: int,
     h: int,
+    mb: int = MB,
 ):
-    """Pair apply against a (4,32)-record mirror: returns a
-    ``[Cm, 640]`` DELTA table (``dvx dvy dax day dyn`` in the record
+    """Pair apply against a (4,mb)-record mirror: returns a
+    ``[Cm, 5·4·mb]`` DELTA table (``dvx dvy dax day dyn`` in the record
     layout).  One gathered row per pair side; per-field offset selects
-    (slice+reshape only — no small-granularity transpose)."""
+    (slice+reshape only — no small-granularity transpose).  For
+    ``mb > 32`` the selects run in two stages — coarse 32-lane
+    sub-block (mb/32 cases), then the fine 8-case chunk offset — so a
+    128-lane record costs 4+8 selects per side, not 32."""
     c = ff.chunk
     assert c == RX, "v4 mirror assumes 4x4 chunks"
+    assert mb % 32 == 0, "record lane block must be a multiple of 32"
     cc = c * c
     k = fl.capacity
-    hm = _mh(h)
-    nb = hm // MB
+    hm = _mh(h, mb)
+    nb = hm // mb
     cw = w // RX
     cwy = h // c                      # 4x4 chunk grid minor dim
+    rec = NF * RX * mb
 
     ids = jnp.concatenate([fl.ca, fl.cb])          # [2k] 4x4 chunk ids
     cx = ids // cwy
     cy = ids % cwy
     lane0 = cy * c
-    blk = lane0 // MB
-    off = lane0 % MB                                # ∈ {0,4,...,28}
+    blk = lane0 // mb
+    off = lane0 % mb                                # ∈ {0,4,...,mb-4}
+    o32 = off % 32                                  # fine: chunk in sub-block
+    b32 = off - o32                                 # coarse: 32-lane sub-block
 
     row_ids = blk * cw + cx                         # [2k] — ONE row/side
-    gathered = table[row_ids]                       # [2k, 640]
+    gathered = table[row_ids]                       # [2k, rec]
     n2k = ids.shape[0]
-    g4 = gathered.reshape(n2k, NF, RX, MB)
+    g4 = gathered.reshape(n2k, NF, RX, mb)
+
+    # ---- coarse select (mb > 32 only): [.., mb] → [.., 32] ----
+    if mb > 32:
+        g32 = jnp.zeros((n2k, NF, RX, 32), jnp.float32)
+        for o in range(0, mb, 32):
+            g32 = g32 + jnp.where((b32 == o)[:, None, None, None],
+                                  g4[:, :, :, o : o + 32], 0.0)
+    else:
+        g32 = g4
 
     # ---- per-field static 8-offset select → g fields [2k, cc] each ----
     fields = []
     for f in range(NF):
         acc = jnp.zeros((n2k, cc), jnp.float32)
-        for o in range(0, MB, c):
-            v = g4[:, f, :, o : o + c].reshape(n2k, cc)
-            acc = acc + jnp.where((off == o)[:, None], v, 0.0)
+        for o in range(0, 32, c):
+            v = g32[:, f, :, o : o + c].reshape(n2k, cc)
+            acc = acc + jnp.where((o32 == o)[:, None], v, 0.0)
         fields.append(acc)
     g = jnp.concatenate(fields, axis=1)             # [2k, 5*cc]
 
@@ -140,18 +165,27 @@ def far_terms_from_mirror(
         ecoeff=ecoeff, friction=friction, world_h=hm,
     )                                               # [2k, 5, cc]
 
-    # ---- inverse placement: [2k, 5, cc] → [2k, 640] rows ----
+    # ---- inverse placement: [2k, 5, cc] → [2k, rec] rows ----
     cb4 = contrib.reshape(n2k, NF, c, c)
-    drows = jnp.zeros((n2k, NF, RX, MB), jnp.float32)
-    for o in range(0, MB, c):
+    d32 = jnp.zeros((n2k, NF, RX, 32), jnp.float32)
+    for o in range(0, 32, c):
         placed = jnp.pad(cb4, ((0, 0), (0, 0), (0, 0),
-                               (o, MB - c - o)))
-        drows = drows + jnp.where((off == o)[:, None, None, None],
-                                  placed, 0.0)
+                               (o, 32 - c - o)))
+        d32 = d32 + jnp.where((o32 == o)[:, None, None, None],
+                              placed, 0.0)
+    if mb > 32:
+        drows = jnp.zeros((n2k, NF, RX, mb), jnp.float32)
+        for o in range(0, mb, 32):
+            placed = jnp.pad(d32, ((0, 0), (0, 0), (0, 0),
+                                   (o, mb - 32 - o)))
+            drows = drows + jnp.where((b32 == o)[:, None, None, None],
+                                      placed, 0.0)
+    else:
+        drows = d32
 
     cm = table.shape[0]
-    dtab = jnp.zeros((cm, REC), jnp.float32)
-    dtab = dtab.at[row_ids].add(drows.reshape(n2k, REC))
+    dtab = jnp.zeros((cm, rec), jnp.float32)
+    dtab = dtab.at[row_ids].add(drows.reshape(n2k, rec))
     return dtab
 
 
@@ -168,6 +202,7 @@ def bucketed_far_delta_from_fn(
     w: int,
     h: int,
     buckets: Tuple[int, ...] = (1024, 4096),
+    mb: int = MB,
 ):
     """Core bucketed apply over a DEFERRED plane source: crop the pair
     list to the smallest capacity bucket ≥ n_pairs so light frames
@@ -200,9 +235,9 @@ def bucketed_far_delta_from_fn(
             # beats narrow's row traffic well below 1k pairs, so
             # narrow only pays for near-empty buckets
             return far_delta_planes_narrow(planes5, flk, **kwargs)
-        table = mirror_table(planes5)
-        dtab = far_terms_from_mirror(table, flk, **kwargs)
-        return unmirror_table(dtab, w=w, h=h)
+        table = mirror_table(planes5, mb=mb)
+        dtab = far_terms_from_mirror(table, flk, mb=mb, **kwargs)
+        return unmirror_table(dtab, w=w, h=h, mb=mb)
 
     bidx = sum(
         (fl.n_pairs > jnp.int32(b)).astype(jnp.int32)
@@ -232,6 +267,7 @@ def bucketed_far_delta_planes(
     plane_idx: Tuple[int, int, int, int] = (0, 1, 2, 3),
     pad: Tuple[int, int] = (0, 0),
     buckets: Tuple[int, ...] = (1024, 4096),
+    mb: int = MB,
 ):
     """Bucketed apply over the PACKED hot stack (``plane_idx`` = the
     px/py/vx/vy rows, ``pad`` = the stack's interior offset) plus the
@@ -252,7 +288,7 @@ def bucketed_far_delta_planes(
 
     return bucketed_far_delta_from_fn(
         planes5_fn, fl, s=s, ff=ff, radius=radius, dt=dt, ecoeff=ecoeff,
-        friction=friction, w=w, h=h, buckets=buckets,
+        friction=friction, w=w, h=h, buckets=buckets, mb=mb,
     )
 
 

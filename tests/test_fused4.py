@@ -298,3 +298,57 @@ def test_v4_overflow_accounted():
     st = np.asarray(st)
     assert st[1] == 4, f"capacity should saturate: {st}"
     assert st[2] > 0, f"dropped candidates must be counted: {st}"
+
+
+def test_mirror_mb128_matches_mb32():
+    """The 128-lane record variant (coarse+fine two-stage selects) must
+    reproduce the 32-lane apply bit-for-bit: only the gather/select
+    routing differs, every arithmetic path sees identical operands."""
+    px, py, vx, vy, alive = _fold_planes()
+    w, h = px.shape
+    ff = FarFieldSpec(max_pairs=128, max_tile_pairs=32, skin=2.0,
+                      horizon=8)
+    fl = rebuild_far_list_planes(px, py, alive, s=2, ff=ff, radius=1.5,
+                                 vx=vx, vy=vy, dt=1 / 64)
+    assert int(fl.n_pairs) > 0
+    planes = jnp.stack([px, py, vx, vy, alive.astype(jnp.float32)])
+
+    def via(mb):
+        tab = mirror_table(planes, mb=mb)
+        back = unmirror_table(tab, w=w, h=h, mb=mb)
+        np.testing.assert_array_equal(np.asarray(back),
+                                      np.asarray(planes))
+        dtab = far_terms_from_mirror(tab, fl, s=2, ff=ff, radius=1.5,
+                                     dt=1 / 64, ecoeff=0.75,
+                                     friction=0.1, w=w, h=h, mb=mb)
+        return np.asarray(unmirror_table(dtab, w=w, h=h, mb=mb))
+
+    np.testing.assert_array_equal(via(128), via(32))
+
+
+def test_backend_far_mb128_frame_parity():
+    """fused_frame4 with far_mb=128 equals far_mb=32 on a folding scene
+    (allclose: the scatter-add into a different record partition can
+    reassociate f32 sums at chunks shared by several pairs)."""
+    from softbody_tpu.models import tearing_cloth_lattice
+    from softbody_tpu.engine.backends import FusedLatticeBackend
+    from softbody_tpu import PhysicsConstants, UserInput
+
+    lstate, spec, cfg, consts = tearing_cloth_lattice(
+        n_particles=32 * 32, spring=2.0, damp=0.2, fall_speed=10.0,
+        slits=2, strain_limit=0.22, yield_strain=0.18)
+    w, _h = lstate.shape
+    spacing = 980.0 / (w - 1)
+    ff = FarFieldSpec(max_pairs=512, max_tile_pairs=128,
+                      skin=0.75 * spacing, horizon=8)
+    uin = UserInput.none()
+    outs = []
+    for mb in (32, 128):
+        backend = FusedLatticeBackend(spec, cfg, farfield=ff, tile_w=8,
+                                      far_mb=mb)
+        state = backend.pack_state(lstate)
+        for _ in range(3):
+            state = backend.step(state, consts, uin)
+        ext = backend.extract(state)
+        outs.append(np.asarray(ext[0]))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=0, atol=1e-4)
