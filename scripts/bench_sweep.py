@@ -33,9 +33,19 @@ CONFIGS = [
     ("act", {"activation": True}),
     ("act_fine", {"activation": True,
                   "buckets": (64, 256, 1024, 2048, 4096)}),
+    # measured 08-18 (bench_sweep3): base 568.0, tile128 544.1,
+    # mb128 484.6, mb128_tile128 468.3 — tile 128 and 128-lane records
+    # are both dead ends at 1M; defaults stay tile_w=64 / mb=32
     ("tile128", {"tile_w": 128}),
     ("mb128", {"far_mb": 128}),
     ("mb128_tile128", {"far_mb": 128, "tile_w": 128}),
+    # schedule-parameter A/Bs around the 567.96 base
+    ("cadence6", {"cadence": 6}),
+    ("cadence12", {"cadence": 12}),
+    ("cadence16", {"cadence": 16}),
+    ("k8192", {"far_k": 8192}),
+    ("skin06", {"skin_mult": 0.6}),
+    ("skin05", {"skin_mult": 0.5}),
     ("buckets1280", {"buckets": (1280, 2048, 4096)}),  # fits the ~1062
     ("buckets2048", {"buckets": (2048,)}),
     ("buckets4096", {"buckets": (4096,)}),  # mirror path at benched load

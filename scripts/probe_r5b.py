@@ -71,11 +71,14 @@ def main() -> int:
     state = backend.step(state, consts, uin)
     jax.block_until_ready(state[0])
     print(f"compile+first {time.time() - t0:.1f}s", flush=True)
-    # mid-window state: 1 warm + 5 frames (the tear is live, not spent)
-    for _ in range(5):
+    # end-of-bench-window state: 1 compile frame + 9 more = 10 frames,
+    # matching bench.py's timed window (1 warm + 8 timed) — the r5b
+    # first cut used 6 frames, where the fold contacts had NOT yet
+    # developed (far_pairs=0) and the stencil sweep below was vacuous
+    for _ in range(9):
         state = backend.step(state, consts, uin)
     jax.block_until_ready(state[0])
-    print(f"stats mid-window: {backend.far_stats()}", flush=True)
+    print(f"stats end-window: {backend.far_stats()}", flush=True)
 
     hot, obs = state
     immut = backend._immut
@@ -142,6 +145,33 @@ def main() -> int:
             return c + d * eps
 
         scan_time(f"mapply {k} (scan)", mbody, planes5)
+
+    # mapply cost split (all @2048):
+    #   [gm]   mirror + gather + math  (no unmirror)
+    #   [fixg] gather + math on a PRE-BUILT table (relayout hoisted)
+    # → mirror relayout ≈ gm − fixg; delta unmirror ≈ mapply − gm.
+    # (A bare "mirror only" body would be DCE'd/fused away — the row
+    # gather is what forces the relayout to materialize.)
+    flk2 = crop_far_list(fl, 2048)
+
+    def gmbody(c):
+        tab = mirror_table(c)
+        dtab = far_terms_from_mirror(tab, flk2, **kwargs)
+        return c + dtab[0, :1] * eps
+
+    scan_time("mirror+gather+math 2048 (scan)", gmbody, planes5)
+
+    tab0 = jax.jit(mirror_table)(planes5)
+
+    def fixg(carry, t=tab0):
+        # carry→table dependency keeps the body inside the scan (a *0
+        # would constant-fold and hoist the whole thing); the broadcast
+        # add costs one table read+write (~0.06 ms), subtract mentally
+        dtab = far_terms_from_mirror(t + carry[0, :1, None] * eps,
+                                     flk2, **kwargs)
+        return carry + dtab[0, :1] * eps
+
+    scan_time("gather+math 2048, fixed table (scan)", fixg, planes5)
 
     def rbody(c):
         fl_ = rebuild_far_list_planes(
