@@ -39,6 +39,9 @@ CONFIGS = [
     ("tile128", {"tile_w": 128}),
     ("mb128", {"far_mb": 128}),
     ("mb128_tile128", {"far_mb": 128, "tile_w": 128}),
+    # hybrid: gather from 32-lane records, scatter delta at 128-lane
+    # (coarse unmirror) — decouples the two relayouts
+    ("mbout128", {"far_mb_out": 128}),
     # schedule-parameter A/Bs around the 567.96 base
     ("cadence6", {"cadence": 6}),
     ("cadence12", {"cadence": 12}),
@@ -104,7 +107,8 @@ def main() -> int:
                 spec, cfg, farfield=ff, tile_w=tile_w,
                 far_mode=ov.get("far_mode", "v4"), far_buckets=buckets,
                 far_activation=ov.get("activation", False),
-                far_mb=ov.get("far_mb", 32))
+                far_mb=ov.get("far_mb", 32),
+                far_mb_out=ov.get("far_mb_out"))
             state = backend.pack_state(lstate)
 
             t0 = time.time()

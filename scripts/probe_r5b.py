@@ -146,6 +146,14 @@ def main() -> int:
 
         scan_time(f"mapply {k} (scan)", mbody, planes5)
 
+        def hbody(c, f=flk):
+            tab = mirror_table(c)
+            dtab = far_terms_from_mirror(tab, f, mb_out=128, **kwargs)
+            d = unmirror_table(dtab, w=w, h=h, mb=128)
+            return c + d * eps
+
+        scan_time(f"mapply {k} mb_out=128 (scan)", hbody, planes5)
+
     # mapply cost split (all @2048):
     #   [gm]   mirror + gather + math  (no unmirror)
     #   [fixg] gather + math on a PRE-BUILT table (relayout hoisted)
@@ -167,7 +175,7 @@ def main() -> int:
         # carry→table dependency keeps the body inside the scan (a *0
         # would constant-fold and hoist the whole thing); the broadcast
         # add costs one table read+write (~0.06 ms), subtract mentally
-        dtab = far_terms_from_mirror(t + carry[0, :1, None] * eps,
+        dtab = far_terms_from_mirror(t + carry[0, 0, 0] * eps,
                                      flk2, **kwargs)
         return carry + dtab[0, :1] * eps
 

@@ -365,7 +365,8 @@ class FusedLatticeBackend(LatticeBackend):
                  tile_w: int = 128, far_mode: str = "v4",
                  far_buckets: Optional[Tuple[int, ...]] = None,
                  far_activation: bool = False,
-                 far_mb: int = 32) -> None:
+                 far_mb: int = 32,
+                 far_mb_out: Optional[int] = None) -> None:
         super().__init__(spec, cfg, farfield=farfield)
         self.tile_w = tile_w
         # "v4": fixed-cadence rebuilds + mirror-table apply (the round-3
@@ -383,9 +384,11 @@ class FusedLatticeBackend(LatticeBackend):
         # +2.8 ms per rebuild (probe_r5b) — it pays on sparse/onset
         # workloads, e.g. the planified path keeps it on
         self.far_activation = far_activation
-        # record lane-block width for the mirror apply (32 or 128; wider
-        # blocks coarsen the per-substep relayout — farfield4.mirror_table)
+        # record lane-block widths for the mirror apply (32 or 128):
+        # far_mb = gather-side table, far_mb_out = delta-table scatter
+        # side (None = same as far_mb) — farfield4.far_terms_from_mirror
         self.far_mb = far_mb
+        self.far_mb_out = far_mb_out
         self._immut = None
         self._edge_consts = None
         self._template = None
@@ -455,7 +458,7 @@ class FusedLatticeBackend(LatticeBackend):
                 hot, obs, self._immut, self._edge_consts, consts, uin,
                 self.spec, self.cfg, self.ff, tile_w=self.tile_w,
                 interpret=interp, activation=self.far_activation,
-                far_mb=self.far_mb, **bkw,
+                far_mb=self.far_mb, far_mb_out=self.far_mb_out, **bkw,
             )
             if self._stats_acc is None:
                 self._stats_acc = st

@@ -108,14 +108,23 @@ def far_terms_from_mirror(
     w: int,
     h: int,
     mb: int = MB,
+    mb_out: Optional[int] = None,
 ):
     """Pair apply against a (4,mb)-record mirror: returns a
-    ``[Cm, 5·4·mb]`` DELTA table (``dvx dvy dax day dyn`` in the record
-    layout).  One gathered row per pair side; per-field offset selects
+    ``[Cm', 5·4·mb_out]`` DELTA table (``dvx dvy dax day dyn`` in the
+    record layout, lane-block ``mb_out``, default ``mb``).  One
+    gathered row per pair side; per-field offset selects
     (slice+reshape only — no small-granularity transpose).  For
     ``mb > 32`` the selects run in two stages — coarse 32-lane
     sub-block (mb/32 cases), then the fine 8-case chunk offset — so a
-    128-lane record costs 4+8 selects per side, not 32."""
+    128-lane record costs 4+8 selects per side, not 32.
+
+    ``mb_out`` decouples the scatter/unmirror side from the gather
+    side: the input relayout is fastest at 32-lane records (gather
+    rows stay narrow) while the DELTA unmirror is granularity-bound —
+    emitting the delta at 128-lane records makes that relayout
+    coarse-grained at the cost of 4 extra placement selects and a 4×
+    wider (but equally many) scatter rows."""
     c = ff.chunk
     assert c == RX, "v4 mirror assumes 4x4 chunks"
     assert mb % 32 == 0, "record lane block must be a multiple of 32"
@@ -165,27 +174,36 @@ def far_terms_from_mirror(
         ecoeff=ecoeff, friction=friction, world_h=hm,
     )                                               # [2k, 5, cc]
 
-    # ---- inverse placement: [2k, 5, cc] → [2k, rec] rows ----
+    # ---- inverse placement: [2k, 5, cc] → [2k, rec_out] rows ----
+    mo = mb if mb_out is None else mb_out
+    assert mo % 32 == 0, "output lane block must be a multiple of 32"
+    rec_out = NF * RX * mo
+    off_o = lane0 % mo
+    o32_o = off_o % 32
+    b32_o = off_o - o32_o
+    blk_o = lane0 // mo
+    row_ids_o = blk_o * cw + cx
+
     cb4 = contrib.reshape(n2k, NF, c, c)
     d32 = jnp.zeros((n2k, NF, RX, 32), jnp.float32)
     for o in range(0, 32, c):
         placed = jnp.pad(cb4, ((0, 0), (0, 0), (0, 0),
                                (o, 32 - c - o)))
-        d32 = d32 + jnp.where((o32 == o)[:, None, None, None],
+        d32 = d32 + jnp.where((o32_o == o)[:, None, None, None],
                               placed, 0.0)
-    if mb > 32:
-        drows = jnp.zeros((n2k, NF, RX, mb), jnp.float32)
-        for o in range(0, mb, 32):
+    if mo > 32:
+        drows = jnp.zeros((n2k, NF, RX, mo), jnp.float32)
+        for o in range(0, mo, 32):
             placed = jnp.pad(d32, ((0, 0), (0, 0), (0, 0),
-                                   (o, mb - 32 - o)))
-            drows = drows + jnp.where((b32 == o)[:, None, None, None],
+                                   (o, mo - 32 - o)))
+            drows = drows + jnp.where((b32_o == o)[:, None, None, None],
                                       placed, 0.0)
     else:
         drows = d32
 
-    cm = table.shape[0]
-    dtab = jnp.zeros((cm, rec), jnp.float32)
-    dtab = dtab.at[row_ids].add(drows.reshape(n2k, rec))
+    cm_o = (_mh(h, mo) // mo) * cw
+    dtab = jnp.zeros((cm_o, rec_out), jnp.float32)
+    dtab = dtab.at[row_ids_o].add(drows.reshape(n2k, rec_out))
     return dtab
 
 
@@ -203,6 +221,7 @@ def bucketed_far_delta_from_fn(
     h: int,
     buckets: Tuple[int, ...] = (1024, 4096),
     mb: int = MB,
+    mb_out: Optional[int] = None,
 ):
     """Core bucketed apply over a DEFERRED plane source: crop the pair
     list to the smallest capacity bucket ≥ n_pairs so light frames
@@ -236,8 +255,10 @@ def bucketed_far_delta_from_fn(
             # narrow only pays for near-empty buckets
             return far_delta_planes_narrow(planes5, flk, **kwargs)
         table = mirror_table(planes5, mb=mb)
-        dtab = far_terms_from_mirror(table, flk, mb=mb, **kwargs)
-        return unmirror_table(dtab, w=w, h=h, mb=mb)
+        dtab = far_terms_from_mirror(table, flk, mb=mb, mb_out=mb_out,
+                                     **kwargs)
+        return unmirror_table(dtab, w=w, h=h,
+                              mb=mb if mb_out is None else mb_out)
 
     bidx = sum(
         (fl.n_pairs > jnp.int32(b)).astype(jnp.int32)
@@ -268,6 +289,7 @@ def bucketed_far_delta_planes(
     pad: Tuple[int, int] = (0, 0),
     buckets: Tuple[int, ...] = (1024, 4096),
     mb: int = MB,
+    mb_out: Optional[int] = None,
 ):
     """Bucketed apply over the PACKED hot stack (``plane_idx`` = the
     px/py/vx/vy rows, ``pad`` = the stack's interior offset) plus the
@@ -289,6 +311,7 @@ def bucketed_far_delta_planes(
     return bucketed_far_delta_from_fn(
         planes5_fn, fl, s=s, ff=ff, radius=radius, dt=dt, ecoeff=ecoeff,
         friction=friction, w=w, h=h, buckets=buckets, mb=mb,
+        mb_out=mb_out,
     )
 
 

@@ -1472,7 +1472,7 @@ def packed_far_motion2(hot, immut, fl):
     jax.jit,
     static_argnames=("spec", "cfg", "ffspec", "tile_w", "interpret",
                      "n_sub", "observe", "buckets", "activation",
-                     "far_mb"),
+                     "far_mb", "far_mb_out"),
     donate_argnames=("hot", "obs"),
 )
 def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
@@ -1480,7 +1480,8 @@ def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
                  tile_w: int = 128, interpret: bool = False,
                  n_sub: Optional[int] = None, observe: bool = True,
                  buckets: Tuple[int, ...] = (1024, 2048, 4096),
-                 activation: bool = False, far_mb: int = 32):
+                 activation: bool = False, far_mb: int = 32,
+                 far_mb_out: Optional[int] = None):
     """v4 far-field frame: fixed-cadence unconditional rebuilds + the
     mirror-table pair apply (ops/farfield4.py — design and measured
     rationale there).
@@ -1571,7 +1572,7 @@ def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
             ecoeff=(consts.elasticity + 1.0) * 0.5,
             friction=consts.friction, w=w, h=h,
             plane_idx=(PX, PY, VX, VY), pad=(PAD_W, PAD_H),
-            buckets=buckets, mb=far_mb,
+            buckets=buckets, mb=far_mb, mb_out=far_mb_out,
         )
         return fused_substep2_call(m, immut, cvec, far=far_int,
                                    far_interior=True, obs_in=obs_in,

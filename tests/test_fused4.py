@@ -352,3 +352,26 @@ def test_backend_far_mb128_frame_parity():
         ext = backend.extract(state)
         outs.append(np.asarray(ext[0]))
     np.testing.assert_allclose(outs[0], outs[1], rtol=0, atol=1e-4)
+
+
+def test_mirror_mbout128_matches_mb32():
+    """Hybrid apply (gather at mb=32, delta scatter at mb_out=128) must
+    reproduce the pure-32 delta planes bit-for-bit."""
+    px, py, vx, vy, alive = _fold_planes()
+    w, h = px.shape
+    ff = FarFieldSpec(max_pairs=128, max_tile_pairs=32, skin=2.0,
+                      horizon=8)
+    fl = rebuild_far_list_planes(px, py, alive, s=2, ff=ff, radius=1.5,
+                                 vx=vx, vy=vy, dt=1 / 64)
+    assert int(fl.n_pairs) > 0
+    planes = jnp.stack([px, py, vx, vy, alive.astype(jnp.float32)])
+    tab = mirror_table(planes, mb=32)
+    kwargs = dict(s=2, ff=ff, radius=1.5, dt=1 / 64, ecoeff=0.75,
+                  friction=0.1, w=w, h=h)
+    d32 = unmirror_table(
+        far_terms_from_mirror(tab, fl, mb=32, **kwargs), w=w, h=h,
+        mb=32)
+    dh = unmirror_table(
+        far_terms_from_mirror(tab, fl, mb=32, mb_out=128, **kwargs),
+        w=w, h=h, mb=128)
+    np.testing.assert_array_equal(np.asarray(dh), np.asarray(d32))
