@@ -68,11 +68,11 @@ def mirror_table(planes: jax.Array, *, mb: int = MB) -> jax.Array:
     5·4·mb]`` record table, b-major (row = b·(W/4) + cx).
 
     ``mb`` is the record lane-block width: 32 is the smallest
-    granularity XLA relayouts handle fast (probe_v4g); wider blocks
-    (128) make the relayout coarser-grained (fewer, larger contiguous
-    units) at the price of 4× wider gather rows — rows price by count,
-    not width (cost model in the module docstring), so the relayout is
-    the term that moves."""
+    granularity XLA relayouts handle fast (probe_v4g).  Wider blocks
+    were measured and REJECTED at 1M (bench_sweep3: far_mb=128 runs
+    484.6 vs 568.0 substeps/s) — the 4× wider gather rows and
+    two-stage selects cost more than the coarser relayout saves.  The
+    knob stays for measurement; default 32."""
     five, w, h = planes.shape
     hm = _mh(h, mb)
     if hm != h:
@@ -120,11 +120,11 @@ def far_terms_from_mirror(
     128-lane record costs 4+8 selects per side, not 32.
 
     ``mb_out`` decouples the scatter/unmirror side from the gather
-    side: the input relayout is fastest at 32-lane records (gather
-    rows stay narrow) while the DELTA unmirror is granularity-bound —
-    emitting the delta at 128-lane records makes that relayout
-    coarse-grained at the cost of 4 extra placement selects and a 4×
-    wider (but equally many) scatter rows."""
+    side.  Measured verdict (probe_r5e, 1M tear): ``mb_out=128`` LOSES
+    — 1.589 vs 0.795 ms at K=2048 — the 4× wider scatter rows and
+    placement selects cost ~3× what the coarser unmirror saves
+    (unmirror alone is 0.28 ms of the 0.795).  Kept as a measurement
+    knob; both defaults stay 32."""
     c = ff.chunk
     assert c == RX, "v4 mirror assumes 4x4 chunks"
     assert mb % 32 == 0, "record lane block must be a multiple of 32"
