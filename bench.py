@@ -125,11 +125,13 @@ def main() -> int:
                        if bk_env else None)
         far_act = os.environ.get("BENCH_FAR_ACTIVATION", "0") != "0"
         far_mb = int(os.environ.get("BENCH_FAR_MB", 32))
+        far_detect = os.environ.get("BENCH_FAR_DETECT", "xla")
         backend = FusedLatticeBackend(spec, cfg, farfield=ff,
                                       tile_w=tile_w, far_mode=far_mode,
                                       far_buckets=far_buckets,
                                       far_activation=far_act,
-                                      far_mb=far_mb)
+                                      far_mb=far_mb,
+                                      far_detect=far_detect)
         packed = backend.pack_state(lstate)
 
         class _Packed:

@@ -37,11 +37,16 @@ CONFIGS = [
     # mb128 484.6, mb128_tile128 468.3 — tile 128 and 128-lane records
     # are both dead ends at 1M; defaults stay tile_w=64 / mb=32
     ("tile128", {"tile_w": 128}),
+    ("tile32", {"tile_w": 32}),
     ("mb128", {"far_mb": 128}),
     ("mb128_tile128", {"far_mb": 128, "tile_w": 128}),
     # hybrid: gather from 32-lane records, scatter delta at 128-lane
     # (coarse unmirror) — decouples the two relayouts
     ("mbout128", {"far_mb_out": 128}),
+    # kernel-side detection at cadence boundaries (fused_frame4
+    # detect_mode="kernel"): XLA detection is 1.84 of the 3.38 ms
+    # rebuild (probe_r6) and the kernel owns every plane in VMEM
+    ("kdetect", {"far_detect": "kernel"}),
     # schedule-parameter A/Bs around the 567.96 base
     ("cadence6", {"cadence": 6}),
     ("cadence12", {"cadence": 12}),
@@ -108,7 +113,8 @@ def main() -> int:
                 far_mode=ov.get("far_mode", "v4"), far_buckets=buckets,
                 far_activation=ov.get("activation", False),
                 far_mb=ov.get("far_mb", 32),
-                far_mb_out=ov.get("far_mb_out"))
+                far_mb_out=ov.get("far_mb_out"),
+                far_detect=ov.get("far_detect", "xla"))
             state = backend.pack_state(lstate)
 
             t0 = time.time()

@@ -366,7 +366,8 @@ class FusedLatticeBackend(LatticeBackend):
                  far_buckets: Optional[Tuple[int, ...]] = None,
                  far_activation: bool = False,
                  far_mb: int = 32,
-                 far_mb_out: Optional[int] = None) -> None:
+                 far_mb_out: Optional[int] = None,
+                 far_detect: str = "xla") -> None:
         super().__init__(spec, cfg, farfield=farfield)
         self.tile_w = tile_w
         # "v4": fixed-cadence rebuilds + mirror-table apply (the round-3
@@ -389,6 +390,10 @@ class FusedLatticeBackend(LatticeBackend):
         # side (None = same as far_mb) — farfield4.far_terms_from_mirror
         self.far_mb = far_mb
         self.far_mb_out = far_mb_out
+        # "xla" = dense detection at each rebuild; "kernel" = the
+        # block's last substep emits detection side-outputs in-kernel
+        # (fused_frame4 detect_mode — see its docstring)
+        self.far_detect = far_detect
         self._immut = None
         self._edge_consts = None
         self._template = None
@@ -458,7 +463,8 @@ class FusedLatticeBackend(LatticeBackend):
                 hot, obs, self._immut, self._edge_consts, consts, uin,
                 self.spec, self.cfg, self.ff, tile_w=self.tile_w,
                 interpret=interp, activation=self.far_activation,
-                far_mb=self.far_mb, far_mb_out=self.far_mb_out, **bkw,
+                far_mb=self.far_mb, far_mb_out=self.far_mb_out,
+                detect_mode=self.far_detect, **bkw,
             )
             if self._stats_acc is None:
                 self._stats_acc = st

@@ -924,8 +924,12 @@ def fused_substep2_call(hot, immut, consts_vec, *, w: int, h: int,
     has_far = far is not None
     obs = obs_in is not None
     trig = refs is not None
-    if detect and not trig:
-        raise ValueError("detect requires refs (the trigger consts)")
+    # detect and trig are independent in the kernel: the side block
+    # reads only the N_EXTRA consts lanes (X_DET/X_VBX/X_VBY/X_TBAND/
+    # X_REACH), never the refs planes or the stats output — so the v4
+    # fixed-cadence frame can run detect-only substeps (no 19 MB refs
+    # DMA, no deviation math).  The caller must still append the
+    # N_EXTRA scalars to the consts vector when detect is on.
     n_rot = len(_rotation_specs(stencil, detect))
 
     kernel = functools.partial(
@@ -1472,7 +1476,7 @@ def packed_far_motion2(hot, immut, fl):
     jax.jit,
     static_argnames=("spec", "cfg", "ffspec", "tile_w", "interpret",
                      "n_sub", "observe", "buckets", "activation",
-                     "far_mb", "far_mb_out"),
+                     "far_mb", "far_mb_out", "detect_mode"),
     donate_argnames=("hot", "obs"),
 )
 def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
@@ -1481,10 +1485,27 @@ def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
                  n_sub: Optional[int] = None, observe: bool = True,
                  buckets: Tuple[int, ...] = (1024, 2048, 4096),
                  activation: bool = False, far_mb: int = 32,
-                 far_mb_out: Optional[int] = None):
+                 far_mb_out: Optional[int] = None,
+                 detect_mode: str = "xla"):
     """v4 far-field frame: fixed-cadence unconditional rebuilds + the
     mirror-table pair apply (ops/farfield4.py — design and measured
     rationale there).
+
+    ``detect_mode="kernel"`` moves the rebuild's particle-plane
+    detection front-end INTO the fused kernel: each block's last
+    substep runs with the v3 ``detect`` side-outputs on (no trigger
+    machinery — no refs DMA, no deviation stats), and the next block's
+    rebuild finishes from the chunk-level side planes
+    (``raw_planes_from_side`` + ``extrude_chunk_planes`` +
+    ``rebuild_far_list_from_chunks``).  Motivation: the dense XLA
+    detection measures 1.84 ms of the 3.38 ms rebuild at 1M
+    (scripts/probe_r6.py) while the kernel already holds every plane
+    in VMEM.  Block 0's side planes come from the XLA producer
+    ``kernel_side_from_planes`` (parity-exact; once per frame).  The
+    side state is one substep staler than the rebuild state, covered
+    by horizon_pad=1 in the extrusion window (same contract as the v3
+    auto frame).  Incompatible with ``activation`` (the activation
+    schedule needs the raw pre-extrusion planes at rebuild time).
 
     The frame is ``n/R`` blocks of [rebuild → R substeps] with
     ``R = ffspec.horizon`` (the Verlet cadence; must divide the substep
@@ -1555,7 +1576,8 @@ def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
         )
         return fl, None
 
-    def substep(m, fl, n_act_s=None, obs_in=None):
+    def substep(m, fl, n_act_s=None, obs_in=None, cvec_=None,
+                detect=False):
         if n_act_s is not None:
             # active-prefix crop for this substep: the list is sorted by
             # activation substep, so the first n_act_s entries are
@@ -1574,9 +1596,10 @@ def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
             plane_idx=(PX, PY, VX, VY), pad=(PAD_W, PAD_H),
             buckets=buckets, mb=far_mb, mb_out=far_mb_out,
         )
-        return fused_substep2_call(m, immut, cvec, far=far_int,
-                                   far_interior=True, obs_in=obs_in,
-                                   **kw)
+        return fused_substep2_call(m, immut,
+                                   cvec if cvec_ is None else cvec_,
+                                   far=far_int, far_interior=True,
+                                   obs_in=obs_in, detect=detect, **kw)
 
     def block(m, n_inner):
         fl, n_act = rebuild(m)
@@ -1601,6 +1624,110 @@ def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
             jnp.maximum(st_[2], fl.overflow),
             jnp.maximum(st_[3], na),
         ])
+
+    if detect_mode == "kernel":
+        if activation:
+            raise ValueError(
+                "detect_mode='kernel' is incompatible with the "
+                "activation schedule (it needs raw pre-extrusion "
+                "planes at rebuild time)")
+        from ..farfield import (
+            ChunkPlanes,
+            chunk_any_alive,
+            extrude_chunk_planes,
+            kernel_side_from_planes,
+            raw_planes_from_side,
+            rebuild_far_list_from_chunks,
+        )
+
+        cany = chunk_any_alive(alive_int, ff)
+        base_reach = float(2.0 * cfg.particle_radius + ff.skin)
+        # +1 substep on both the band reach window and the extrusion
+        # horizon: the side planes are computed on the INPUT state of
+        # each block's last substep, one substep staler than the
+        # rebuild state (same horizon_pad=1 contract as the v3 frame)
+        t_band = float((R + 1) * cfg.dt)
+        n_alive_f = jnp.maximum(jnp.sum(alive_int_f), 1.0)
+
+        def vbar_of(m):
+            vbx = jnp.sum(
+                jnp.where(alive_int, interior(m[VX]), 0.0)) / n_alive_f
+            vby = jnp.sum(
+                jnp.where(alive_int, interior(m[VY]), 0.0)) / n_alive_f
+            return vbx, vby
+
+        def extras_of(m):
+            vbx, vby = vbar_of(m)
+            return jnp.stack([
+                jnp.float32(0.0),          # X_TAU (trigger-only)
+                jnp.float32(1.0),          # X_DET
+                vbx, vby,
+                jnp.float32(t_band),
+                jnp.float32(base_reach),
+                jnp.float32(ff.speed_safety * cfg.dt),
+                jnp.float32(0.0),
+            ])
+
+        def rebuild_side(m, side):
+            raw = raw_planes_from_side(side, w, h, (0, 0), ff)
+            ix_, ax_, iy_, ay_ = extrude_chunk_planes(
+                raw, cany, ff=ff, radius=cfg.particle_radius,
+                T=float((R + 1) * cfg.dt), extruded=True)
+            cp = ChunkPlanes(ix_, ax_, iy_, ay_, cany, raw.band,
+                             jnp.zeros(2, jnp.float32))
+            return rebuild_far_list_from_chunks(
+                cp, interior(m[PX]), interior(m[PY]),
+                interior(m[VX]), interior(m[VY]), ff=ff)
+
+        def substep_detect(m, fl):
+            return substep(m, fl,
+                           cvec_=jnp.concatenate([cvec, extras_of(m)]),
+                           detect=True)
+
+        vb0 = vbar_of(hot)
+        side = kernel_side_from_planes(
+            interior(hot[PX]), interior(hot[PY]), alive_int,
+            interior(hot[VX]), interior(hot[VY]),
+            s=spec.collision_stencil, ff=ff,
+            radius=cfg.particle_radius, T_band=t_band, vbar=vb0,
+            interior_off=(0, 0), interior_shape=(w, h))
+
+        def outer_k(carry, _):
+            m, sd, st_ = carry
+            fl = rebuild_side(m, sd)
+
+            def inner(mm, _):
+                return substep(mm, fl), None
+
+            if R > 1:
+                m, _ = jax.lax.scan(inner, m, None, length=R - 1)
+            m, sd = substep_detect(m, fl)
+            return (m, sd, merge_st(st_, fl, fl.n_pairs)), None
+
+        # full blocks before the final segment; the final segment (rem
+        # substeps, or a full R when rem == 0) ends with the observing
+        # substep (observe=True) or a plain hot substep — its side
+        # output would be unused (no cross-frame far state), so it
+        # never runs detect
+        last = rem if rem else R
+        n_full_before = n_outer if rem else n_outer - 1
+        if n_full_before > 0:
+            (hot, side, st), _ = jax.lax.scan(
+                outer_k, (hot, side, st), None, length=n_full_before)
+        fl = rebuild_side(hot, side)
+
+        def inner_last(mm, _):
+            return substep(mm, fl), None
+
+        if last > 1:
+            hot, _ = jax.lax.scan(inner_last, hot, None, length=last - 1)
+        if observe:
+            hot, obs = substep(hot, fl, obs_in=obs)
+        else:
+            hot = substep(hot, fl)
+        st = merge_st(st, fl, fl.n_pairs)
+        return (_zero_pads(hot, spec, tile_w),
+                _zero_pads(obs, spec, tile_w) if observe else obs, st)
 
     def outer(carry, _):
         m, st_ = carry

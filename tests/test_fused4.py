@@ -375,3 +375,41 @@ def test_mirror_mbout128_matches_mb32():
         far_terms_from_mirror(tab, fl, mb=32, mb_out=128, **kwargs),
         w=w, h=h, mb=128)
     np.testing.assert_array_equal(np.asarray(dh), np.asarray(d32))
+
+
+def test_frame4_kernel_detect_matches_xla_detect():
+    """fused_frame4 detect_mode="kernel" (side-output detection at
+    cadence boundaries, no trigger machinery) must match the XLA
+    detection path on a folding/tearing scene.  Lists may order pairs
+    differently (f32 scatter order at shared chunks), so trajectories
+    compare with allclose; the side-vs-XLA detection itself is
+    parity-exact (raw_planes_from_side ∘ kernel_side_from_planes ==
+    raw_chunk_planes, tested in test_fused3)."""
+    from softbody_tpu.models import tearing_cloth_lattice
+    from softbody_tpu.engine.backends import FusedLatticeBackend
+    from softbody_tpu import UserInput
+
+    lstate, spec, cfg, consts = tearing_cloth_lattice(
+        n_particles=32 * 32, spring=2.0, damp=0.2, fall_speed=10.0,
+        slits=2, strain_limit=0.22, yield_strain=0.18)
+    w, _h = lstate.shape
+    spacing = 980.0 / (w - 1)
+    ff = FarFieldSpec(max_pairs=512, max_tile_pairs=128,
+                      skin=0.75 * spacing, horizon=8)
+    uin = UserInput.none()
+    outs, stats = [], []
+    for mode in ("xla", "kernel"):
+        backend = FusedLatticeBackend(spec, cfg, farfield=ff, tile_w=8,
+                                      far_detect=mode)
+        state = backend.pack_state(lstate)
+        for _ in range(3):
+            state = backend.step(state, consts, uin)
+        stats.append(backend.far_stats())
+        ext = backend.extract(state)
+        outs.append(np.asarray(ext[0]))
+    # same rebuild cadence; kernel-side detection is 1 substep staler
+    # with a +1-substep extrusion window, so pair counts may differ
+    # slightly but never drop candidates (superset-sound)
+    assert stats[1]["far_rebuilds"] == stats[0]["far_rebuilds"]
+    assert stats[1]["far_overflow"] == 0
+    np.testing.assert_allclose(outs[0], outs[1], rtol=0, atol=1e-4)
