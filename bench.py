@@ -126,12 +126,20 @@ def main() -> int:
         far_act = os.environ.get("BENCH_FAR_ACTIVATION", "0") != "0"
         far_mb = int(os.environ.get("BENCH_FAR_MB", 32))
         far_detect = os.environ.get("BENCH_FAR_DETECT", "xla")
+        # kernel-variant flags (fused_substep2 kvar), e.g.
+        # BENCH_KVAR=rollgroup,dexp2 ("rollgroup" = batched
+        # partner-shift lane rolls; "dexp2" = drag pow → square,
+        # auto-dropped by the backend when the concrete drag exponent
+        # isn't 2.0).  Default empty until a variant wins its TPU A/B.
+        kv_env = os.environ.get("BENCH_KVAR", "")
+        kvar = tuple(x for x in kv_env.split(",") if x)
         backend = FusedLatticeBackend(spec, cfg, farfield=ff,
                                       tile_w=tile_w, far_mode=far_mode,
                                       far_buckets=far_buckets,
                                       far_activation=far_act,
                                       far_mb=far_mb,
-                                      far_detect=far_detect)
+                                      far_detect=far_detect,
+                                      kernel_variants=kvar)
         packed = backend.pack_state(lstate)
 
         class _Packed:

@@ -61,6 +61,19 @@ CONFIGS = [
     # round-2 tuning (skin 1.5·spacing, horizon 32) but v4's capacity
     ("v3", {"far_mode": "v3", "skin_mult": 1.5, "cadence": 32}),
     ("nearfield", {"far": False}),
+    # ---- round-4 kernel-variant A/Bs (kvar flags, fused_substep2) ----
+    # attribution: nearfield isolates the kernel; nocollide drops the
+    # collision pass + its rotations (stencil 0); nospring drops the
+    # spring pass (NOT physics — attribution only)
+    ("nf_nocollide", {"far": False, "stencil": 0}),
+    ("nf_nospring", {"far": False, "kvar": ("nospring",)}),
+    # optimization variants, kernel-only (nearfield) and full physics
+    ("nf_rollgroup", {"far": False, "kvar": ("rollgroup",)}),
+    ("nf_dexp2", {"far": False, "kvar": ("dexp2",)}),
+    ("nf_rgdx", {"far": False, "kvar": ("rollgroup", "dexp2")}),
+    ("rgdx", {"kvar": ("rollgroup", "dexp2")}),
+    ("rgdx_b1280", {"kvar": ("rollgroup", "dexp2"),
+                    "buckets": (1280, 2048, 4096)}),
 ]
 
 
@@ -107,14 +120,26 @@ def main() -> int:
                               horizon=cadence)
         log(f"== {label}: tile_w={tile_w} far={far} cadence={cadence} "
             f"K={far_k} buckets={buckets}")
+        sp = spec
+        if "stencil" in ov:
+            import dataclasses as _dc
+            sp = _dc.replace(spec, collision_stencil=ov["stencil"])
+            if ov["stencil"] == 0:
+                import dataclasses as _dc2
+                cfg_run = _dc2.replace(cfg, collision_mode="none")
+            else:
+                cfg_run = cfg
+        else:
+            cfg_run = cfg
         try:
             backend = FusedLatticeBackend(
-                spec, cfg, farfield=ff, tile_w=tile_w,
+                sp, cfg_run, farfield=ff, tile_w=tile_w,
                 far_mode=ov.get("far_mode", "v4"), far_buckets=buckets,
                 far_activation=ov.get("activation", False),
                 far_mb=ov.get("far_mb", 32),
                 far_mb_out=ov.get("far_mb_out"),
-                far_detect=ov.get("far_detect", "xla"))
+                far_detect=ov.get("far_detect", "xla"),
+                kernel_variants=ov.get("kvar", ()))
             state = backend.pack_state(lstate)
 
             t0 = time.time()

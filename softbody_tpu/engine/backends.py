@@ -367,9 +367,16 @@ class FusedLatticeBackend(LatticeBackend):
                  far_activation: bool = False,
                  far_mb: int = 32,
                  far_mb_out: Optional[int] = None,
-                 far_detect: str = "xla") -> None:
+                 far_detect: str = "xla",
+                 kernel_variants: Tuple[str, ...] = ()) -> None:
         super().__init__(spec, cfg, farfield=farfield)
         self.tile_w = tile_w
+        # static kernel-variant flags threaded into the fused kernel
+        # (fused_substep2._kernel2 ``kvar``): "rollgroup" (batched
+        # partner-shift rolls), "dexp2" (drag pow → square; only valid
+        # when the concrete drag_exp is 2.0 — checked in step()),
+        # "nospring" (attribution-only, NOT physics)
+        self.kvar = tuple(kernel_variants)
         # "v4": fixed-cadence rebuilds + mirror-table apply (the round-3
         # default; ops/farfield4.py).  "v3": triggered rebuilds with
         # kernel-side detection, far state carried across frames.
@@ -439,7 +446,18 @@ class FusedLatticeBackend(LatticeBackend):
         return fused_frame2(hot, obs, self._immut, self._edge_consts,
                             consts, uin, self.spec, self.cfg,
                             tile_w=self.tile_w, interpret=interp,
-                            n_sub=n_sub, observe=observe)
+                            n_sub=n_sub, observe=observe,
+                            kvar=self._checked_kvar(consts))
+
+    def _checked_kvar(self, consts) -> Tuple[str, ...]:
+        """The backend's kernel-variant flags, with ``dexp2`` dropped
+        (not errored — constants are runtime-mutable) whenever the
+        concrete drag exponent isn't exactly 2.0."""
+        if "dexp2" in self.kvar and (
+            float(np.asarray(consts.drag_exp)) != 2.0
+        ):
+            return tuple(v for v in self.kvar if v != "dexp2")
+        return self.kvar
 
     def step(self, state, consts, uin):
         """One frame.  With far-field armed the far machinery rides the
@@ -464,7 +482,8 @@ class FusedLatticeBackend(LatticeBackend):
                 self.spec, self.cfg, self.ff, tile_w=self.tile_w,
                 interpret=interp, activation=self.far_activation,
                 far_mb=self.far_mb, far_mb_out=self.far_mb_out,
-                detect_mode=self.far_detect, **bkw,
+                detect_mode=self.far_detect,
+                kvar=self._checked_kvar(consts), **bkw,
             )
             if self._stats_acc is None:
                 self._stats_acc = st

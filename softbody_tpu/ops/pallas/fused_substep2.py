@@ -185,7 +185,8 @@ def _rotation_specs(stencil: int, detect: bool = False):
 def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
              quantized: bool, has_far: bool, obs: bool,
              trig: bool = False, detect: bool = False,
-             far_interior: bool = False, pad_hr: int = PAD_H):
+             far_interior: bool = False, pad_hr: int = PAD_H,
+             kvar: Tuple[str, ...] = ()):
     idx = 0
     mut_ref = refs[idx]; idx += 1
     immut_ref = refs[idx]; idx += 1
@@ -476,8 +477,32 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
         dead = lanes < dy if dy > 0 else lanes >= th + dy
         return jnp.where(dead, jnp.zeros((), a.dtype), rolled)
 
+    # kvar "rollgroup": batch the partner-shift lane rolls by Δy — the
+    # per-class/per-offset rolls are each a full-plane lane rotation +
+    # mask; summing the unshifted terms first and rolling ONE stacked
+    # plane per distinct Δy cuts the roll count ~6× in the spring pass
+    # and ~12× in the collision pass.  Quantized spring sums stay
+    # BIT-identical (int32 addition is associative); float-mode springs
+    # and f32 collision sums change only in addition order (same
+    # tolerance class as the v1→v2 half-pass change).
+    rollgroup = "rollgroup" in kvar
+    spring_parts: dict = {}
+
     al_e = rds("i", ALIVE, 0, 0) > 0.0
-    for c, (dx, dy) in enumerate(EDGE_OFFSETS):
+    if "nospring" in kvar:
+        # attribution-only knob (bench_sweep): skip the spring pass and
+        # pass edge state / obs planes through unchanged — NOT physics
+        for c in range(4):
+            mb = 6 + c * 3
+            hot_updates.append((rd("m", mb + TGT, 0, 0),
+                                rd("m", mb + LST, 0, 0),
+                                rd("m", mb + EAL, 0, 0)))
+            if obs:
+                obs_updates.append((obscr[c * 2 + STR],
+                                    obscr[c * 2 + STS]))
+    spring_classes = (tuple(enumerate(EDGE_OFFSETS))
+                      if "nospring" not in kvar else ())
+    for c, (dx, dy) in spring_classes:
         mb = 6 + c * 3
         e_len = _ec(consts, c, EC_LEN)
         e_yld = _ec(consts, c, EC_YLD)
@@ -532,8 +557,22 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
         # owner gets −f; the partner's +f is the same value shifted by
         # the class offset (base rows [−dx, tile_w−dx), lanes +dy)
         up = slice(1 - dx, 1 - dx + tile_w)
-        fx_c = fx_c - fvx[ce] + lane_shift(fvx[up], dy)
-        fy_c = fy_c - fvy[ce] + lane_shift(fvy[up], dy)
+        fx_c = fx_c - fvx[ce]
+        fy_c = fy_c - fvy[ce]
+        if rollgroup and dy != 0:
+            spring_parts.setdefault(dy, []).extend((fvx[up], fvy[up]))
+        else:
+            fx_c = fx_c + lane_shift(fvx[up], dy)
+            fy_c = fy_c + lane_shift(fvy[up], dy)
+
+    for sdy, parts in spring_parts.items():
+        # one stacked roll per distinct Δy: [n·tile_w, th] concat along
+        # sublanes, single lane roll + mask, then slice-add back.  The
+        # parts alternate (fx, fy) per contributing class.
+        stacked = lane_shift(jnp.concatenate(parts, axis=0), sdy)
+        for j in range(0, len(parts), 2):
+            fx_c = fx_c + stacked[j * tile_w : (j + 1) * tile_w]
+            fy_c = fy_c + stacked[(j + 1) * tile_w : (j + 2) * tile_w]
 
     if quantized:
         bfx = fx_c.astype(jnp.float32) / jnp.float32(PARTICLE_FORCE_SCALE)
@@ -588,6 +627,7 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
             dead = lanes < dy if dy > 0 else lanes >= th + dy
             return jnp.where(dead, 0.0, rolled)
 
+        coll_parts: dict = {}
         e_al = rde("i", ALIVE, 0, 0) > 0.0
         e_px = rde("m", PX, 0, 0)
         e_py = rde("m", PY, 0, 0)
@@ -627,20 +667,34 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
             t_day = jnp.where(overlap, -ny_ * clip, 0.0)
             # center slice gets +t; the partner (rows −ox, lanes −oy in
             # term coordinates) gets the exact negation
-            for acc_i, t_ in enumerate((t_dvx, t_dvy, t_dax, t_day,
-                                        t_dyn)):
-                cterm = t_[s : s + tile_w]
-                rterm = lshift(t_[s - ox : s - ox + tile_w], oy)
-                if acc_i == 0:
-                    dvx = dvx + cterm - rterm
-                elif acc_i == 1:
-                    dvy = dvy + cterm - rterm
-                elif acc_i == 2:
-                    dax = dax + cterm - rterm
-                elif acc_i == 3:
-                    day = day + cterm - rterm
+            terms = (t_dvx, t_dvy, t_dax, t_day, t_dyn)
+            accs = [dvx, dvy, dax, day, dyn]
+            if rollgroup and oy != 0:
+                # defer the shift: sum the unshifted reaction slices per
+                # Δy (lshift distributes over addition exactly — roll is
+                # a permutation, the zero-fill mask is elementwise), one
+                # stacked roll per Δy after the offset loop
+                rsl = [t_[s - ox : s - ox + tile_w] for t_ in terms]
+                if oy in coll_parts:
+                    coll_parts[oy] = [a + b for a, b in
+                                      zip(coll_parts[oy], rsl)]
                 else:
-                    dyn = dyn + cterm - rterm
+                    coll_parts[oy] = rsl
+                for acc_i, t_ in enumerate(terms):
+                    accs[acc_i] = accs[acc_i] + t_[s : s + tile_w]
+            else:
+                for acc_i, t_ in enumerate(terms):
+                    cterm = t_[s : s + tile_w]
+                    rterm = lshift(t_[s - ox : s - ox + tile_w], oy)
+                    accs[acc_i] = accs[acc_i] + cterm - rterm
+            dvx, dvy, dax, day, dyn = accs
+        for cdy, parts in coll_parts.items():
+            stacked = lshift(jnp.concatenate(parts, axis=0), cdy)
+            accs = [dvx, dvy, dax, day, dyn]
+            for acc_i in range(5):
+                accs[acc_i] = accs[acc_i] - stacked[
+                    acc_i * tile_w : (acc_i + 1) * tile_w]
+            dvx, dvy, dax, day, dyn = accs
 
     if has_far:
         fscr = fscr2.at[slot]
@@ -668,12 +722,29 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
     speed = jnp.sqrt(v_x * v_x + v_y * v_y)
     moving = speed > 0.0
     inv_speed = 1.0 / jnp.where(moving, speed, 1.0)
-    a_x = a_x - jnp.where(
-        moving, consts[9] * jnp.abs(v_x) ** consts[10] * v_x * inv_speed, 0.0
-    )
-    a_y = a_y - jnp.where(
-        moving, consts[9] * jnp.abs(v_y) ** consts[10] * v_y * inv_speed, 0.0
-    )
+    if "dexp2" in kvar:
+        # caller-guaranteed dragExp == 2.0 (checked host-side against
+        # the concrete constants): |v|^2 == v·v, so the generic pow —
+        # a multi-op exp/log expansion on the VPU for a traced exponent
+        # — collapses to one multiply.  Matches the canonical order
+        # ((c·|v|^e)·v)·(1/speed); numerically this is the correctly
+        # rounded square where pow approximates it, so parity vs the
+        # NumPy oracle (npy_powf also special-cases 2.0) improves.
+        a_x = a_x - jnp.where(
+            moving, consts[9] * (v_x * v_x) * v_x * inv_speed, 0.0
+        )
+        a_y = a_y - jnp.where(
+            moving, consts[9] * (v_y * v_y) * v_y * inv_speed, 0.0
+        )
+    else:
+        a_x = a_x - jnp.where(
+            moving,
+            consts[9] * jnp.abs(v_x) ** consts[10] * v_x * inv_speed, 0.0
+        )
+        a_y = a_y - jnp.where(
+            moving,
+            consts[9] * jnp.abs(v_y) ** consts[10] * v_y * inv_speed, 0.0
+        )
     ustr = consts[11]
     a_x = a_x + consts[17] * ustr
     a_y = a_y + consts[18] * ustr
@@ -893,7 +964,8 @@ def fused_substep2_call(hot, immut, consts_vec, *, w: int, h: int,
                         stencil: int, quantized: bool, tile_w: int = 128,
                         interpret: bool = False, far=None, obs_in=None,
                         refs=None, detect: bool = False,
-                        far_interior: bool = False):
+                        far_interior: bool = False,
+                        kvar: Tuple[str, ...] = ()):
     """One v2/v3 substep.
 
     ``far_interior``: the ``far`` delta planes are the unpadded interior
@@ -936,7 +1008,7 @@ def fused_substep2_call(hot, immut, consts_vec, *, w: int, h: int,
         _kernel2, tile_w=tile_w, world_h=h, stencil=stencil,
         quantized=quantized, has_far=has_far, obs=obs,
         trig=trig, detect=detect, far_interior=far_interior,
-        pad_hr=pad_hr,
+        pad_hr=pad_hr, kvar=tuple(kvar),
     )
     n_in = 2 + int(has_far) + int(obs) + int(trig)
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] * n_in
@@ -1013,13 +1085,14 @@ def fused_substep2_call(hot, immut, consts_vec, *, w: int, h: int,
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "cfg", "tile_w", "interpret", "n_sub",
-                     "observe"),
+                     "observe", "kvar"),
     donate_argnames=("hot", "obs"),
 )
 def fused_frame2(hot, obs, immut, edge_consts, consts: PhysicsConstants,
                  uin: UserInput, spec, cfg: StaticConfig,
                  tile_w: int = 128, interpret: bool = False,
-                 n_sub: Optional[int] = None, observe: bool = True):
+                 n_sub: Optional[int] = None, observe: bool = True,
+                 kvar: Tuple[str, ...] = ()):
     """One frame: ``n_sub−1`` hot substeps + 1 observing substep
     (``n_sub`` defaults to ``cfg.subticks``).  ``observe=False`` runs
     ``n_sub`` hot substeps and passes ``obs`` through untouched — used by
@@ -1032,7 +1105,7 @@ def fused_frame2(hot, obs, immut, edge_consts, consts: PhysicsConstants,
     quantized = cfg.force_mode == "quantized"
     stencil = 0 if cfg.collision_mode == "none" else spec.collision_stencil
     kw = dict(w=w, h=h, stencil=stencil, quantized=quantized,
-              tile_w=tile_w, interpret=interpret)
+              tile_w=tile_w, interpret=interpret, kvar=kvar)
     n = cfg.subticks if n_sub is None else n_sub
 
     def body(m, _):
@@ -1476,7 +1549,7 @@ def packed_far_motion2(hot, immut, fl):
     jax.jit,
     static_argnames=("spec", "cfg", "ffspec", "tile_w", "interpret",
                      "n_sub", "observe", "buckets", "activation",
-                     "far_mb", "far_mb_out", "detect_mode"),
+                     "far_mb", "far_mb_out", "detect_mode", "kvar"),
     donate_argnames=("hot", "obs"),
 )
 def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
@@ -1486,7 +1559,8 @@ def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
                  buckets: Tuple[int, ...] = (1024, 2048, 4096),
                  activation: bool = False, far_mb: int = 32,
                  far_mb_out: Optional[int] = None,
-                 detect_mode: str = "xla"):
+                 detect_mode: str = "xla",
+                 kvar: Tuple[str, ...] = ()):
     """v4 far-field frame: fixed-cadence unconditional rebuilds + the
     mirror-table pair apply (ops/farfield4.py — design and measured
     rationale there).
@@ -1551,7 +1625,7 @@ def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
     alive_int = interior(alive_plane)
     alive_int_f = alive_int.astype(jnp.float32)
     kw = dict(w=w, h=h, stencil=stencil, quantized=quantized,
-              tile_w=tile_w, interpret=interpret)
+              tile_w=tile_w, interpret=interpret, kvar=kvar)
     n = cfg.subticks if n_sub is None else n_sub
     # cadence: full blocks of R substeps + one remainder block (so any
     # horizon works with any substep count; the remainder block still

@@ -184,3 +184,60 @@ def test_lane_pad_geometries_bit_identical():
     assert lane_pad_hr(128, 128) == 128
     assert lane_pad_hr(128 - LANE_REACH + 1, 128) == 128
     assert lane_pad_hr(128 - LANE_REACH, 128) == 0
+
+
+@pytest.mark.parametrize("kv", [("rollgroup",), ("dexp2",),
+                                ("rollgroup", "dexp2")])
+def test_fused2_kernel_variants_match_base(kv):
+    """Round-4 kernel-variant flags (fused_substep2 ``kvar``) against
+    the unflagged kernel.  "rollgroup" batches the partner-shift lane
+    rolls per Δy — quantized spring sums stay BIT-identical (int32
+    addition is associative), f32 collision sums change only in
+    addition order; "dexp2" collapses the drag pow (exponent 2.0) to a
+    square — the correctly rounded value the generic pow approximates."""
+    w, h = 12, 10
+    ls = scene(w, h, seed=3)
+    spec = LatticeSpec(w, h, collision_stencil=2)
+    cfg = StaticConfig(subticks=4, particle_radius=9.0,
+                       collision_mode="allpairs")
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+
+    outs = []
+    for kvar in [(), kv]:
+        hot, obs, immut, ec = pack_lattice2(ls, tile_w=8)
+        hh, oo = fused_frame2(hot, obs, immut, ec, consts, uin, spec,
+                              cfg, tile_w=8, interpret=True, kvar=kvar)
+        outs.append(unpack_lattice2(hh, oo, ls))
+    base, got = outs
+    # collision sums are regrouped (one deferred roll per Δy), so f32
+    # addition order differs — positions are O(1000), so a few 1e-3 of
+    # absolute drift over 4 contact substeps is order noise, not error
+    np.testing.assert_allclose(np.asarray(got.pos), np.asarray(base.pos),
+                               rtol=0, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(got.vel), np.asarray(base.vel),
+                               rtol=0, atol=5e-2)
+    for eg, eb in zip(got.edges, base.edges):
+        np.testing.assert_array_equal(np.asarray(eg.alive),
+                                      np.asarray(eb.alive))
+
+
+def test_fused2_rollgroup_springs_bit_exact():
+    """With collisions OFF, "rollgroup" must be BIT-identical to the
+    base kernel: only quantized int32 spring sums are regrouped, and
+    int32 addition is order-independent."""
+    w, h = 12, 10
+    ls = scene(w, h, seed=7)
+    spec = LatticeSpec(w, h, collision_stencil=2)
+    cfg = StaticConfig(subticks=4, particle_radius=9.0,
+                       collision_mode="none")
+    consts, uin = PhysicsConstants.default(), UserInput.none()
+
+    outs = []
+    for kvar in [(), ("rollgroup",)]:
+        hot, obs, immut, ec = pack_lattice2(ls, tile_w=8)
+        hh, oo = fused_frame2(hot, obs, immut, ec, consts, uin, spec,
+                              cfg, tile_w=8, interpret=True, kvar=kvar)
+        outs.append(unpack_lattice2(hh, oo, ls))
+    base, got = outs
+    np.testing.assert_array_equal(np.asarray(got.pos), np.asarray(base.pos))
+    np.testing.assert_array_equal(np.asarray(got.vel), np.asarray(base.vel))
