@@ -128,11 +128,13 @@ def main() -> int:
         far_detect = os.environ.get("BENCH_FAR_DETECT", "xla")
         # kernel-variant flags (fused_substep2 kvar), e.g.
         # BENCH_KVAR=rollgroup,dexp2 ("rollgroup" = batched
-        # partner-shift lane rolls; "dexp2" = drag pow → square,
-        # auto-dropped by the backend when the concrete drag exponent
-        # isn't 2.0).  Default empty until a variant wins its TPU A/B.
-        kv_env = os.environ.get("BENCH_KVAR", "")
-        kvar = tuple(x for x in kv_env.split(",") if x)
+        # partner-shift lane rolls; "rsqrt" = sqrt+div → rsqrt+mul;
+        # "dexp2" = drag pow → square, auto-dropped by the backend when
+        # the concrete drag exponent isn't 2.0).  Default = the backend
+        # default (measured-best set); BENCH_KVAR=none for the strict
+        # oracle-exact kernel.
+        kv_env = os.environ.get("BENCH_KVAR", "rollgroup,rsqrt,dexp2")
+        kvar = tuple(x for x in kv_env.split(",") if x and x != "none")
         backend = FusedLatticeBackend(spec, cfg, farfield=ff,
                                       tile_w=tile_w, far_mode=far_mode,
                                       far_buckets=far_buckets,

@@ -74,6 +74,25 @@ CONFIGS = [
     ("rgdx", {"kvar": ("rollgroup", "dexp2")}),
     ("rgdx_b1280", {"kvar": ("rollgroup", "dexp2"),
                     "buckets": (1280, 2048, 4096)}),
+    # residual bisect: stencil 0 + nospring = integrate + DMA + overhead
+    ("nf_void", {"far": False, "stencil": 0, "kvar": ("nospring",)}),
+    # "rsqrt": sqrt+div → rsqrt+mul in spring/collision/integrate
+    ("nf_rsqrt", {"far": False, "kvar": ("rsqrt",)}),
+    ("nf_rgrs", {"far": False, "kvar": ("rollgroup", "rsqrt", "dexp2")}),
+    ("rg", {"kvar": ("rollgroup",)}),
+    ("rgrs", {"kvar": ("rollgroup", "rsqrt", "dexp2")}),
+    # bare slab pipeline (input DMA → VMEM copies → output DMA, all
+    # math DCE'd): the kernel's structural floor, by tile width
+    ("nf_pipe", {"far": False, "stencil": 0,
+                 "kvar": ("nospring", "noint")}),
+    ("nf_pipe32", {"far": False, "stencil": 0, "tile_w": 32,
+                   "kvar": ("nospring", "noint")}),
+    ("nf_pipe128", {"far": False, "stencil": 0, "tile_w": 128,
+                    "kvar": ("nospring", "noint")}),
+    ("nf_void32", {"far": False, "stencil": 0, "tile_w": 32,
+                   "kvar": ("nospring",)}),
+    ("nf_rgrs32", {"far": False, "tile_w": 32,
+                   "kvar": ("rollgroup", "rsqrt", "dexp2")}),
 ]
 
 

@@ -368,14 +368,29 @@ class FusedLatticeBackend(LatticeBackend):
                  far_mb: int = 32,
                  far_mb_out: Optional[int] = None,
                  far_detect: str = "xla",
-                 kernel_variants: Tuple[str, ...] = ()) -> None:
+                 kernel_variants: Tuple[str, ...] = (
+                     "rollgroup", "rsqrt", "dexp2")) -> None:
         super().__init__(spec, cfg, farfield=farfield)
         self.tile_w = tile_w
-        # static kernel-variant flags threaded into the fused kernel
+        # Static kernel-variant flags threaded into the fused kernel
         # (fused_substep2._kernel2 ``kvar``): "rollgroup" (batched
-        # partner-shift rolls), "dexp2" (drag pow → square; only valid
-        # when the concrete drag_exp is 2.0 — checked in step()),
-        # "nospring" (attribution-only, NOT physics)
+        # partner-shift rolls), "rsqrt" (sqrt+div → rsqrt+mul),
+        # "dexp2" (drag pow → square; only valid when the concrete
+        # drag_exp is 2.0 — auto-dropped in step() otherwise),
+        # "nospring" (attribution-only, NOT physics).
+        #
+        # The default is the measured-best set (1M tearing cloth, v5e:
+        # kernel 0.888 → 0.784 ms/substep, full physics 568 → 602
+        # substeps/s, bench_sweep r4).  All three preserve semantics
+        # within f32 rounding: rollgroup only regroups f32 collision
+        # sums (quantized spring sums stay bit-identical), dexp2 is the
+        # correctly-rounded value the generic pow approximates, rsqrt
+        # shifts individual ops by 1-2 ulp — well inside the reference
+        # GPU's own precision envelope (WGSL sqrt/divide carry no
+        # correct-rounding guarantee).  Pass ``kernel_variants=()`` for
+        # the strict path that bit-matches the NumPy oracle's op
+        # sequence (what the cross-path parity tests pin).  Applies to
+        # the v2/v4 frames; the legacy v3 far frame ignores it.
         self.kvar = tuple(kernel_variants)
         # "v4": fixed-cadence rebuilds + mirror-table apply (the round-3
         # default; ops/farfield4.py).  "v3": triggered rebuilds with

@@ -486,6 +486,12 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
     # and f32 collision sums change only in addition order (same
     # tolerance class as the v1→v2 half-pass change).
     rollgroup = "rollgroup" in kvar
+    # kvar "rsqrt": replace sqrt+divide pairs (both multi-slot VPU ops;
+    # the kernel is VPU compute-bound) with rsqrt+multiply in the
+    # spring, collision, and integrate blocks.  Predicates move to the
+    # squared domain (exact for ==0/>0; the <two_r contact boundary can
+    # flip at 1-ulp rounding edges — variant tolerance class).
+    rsqrt_kv = "rsqrt" in kvar
     spring_parts: dict = {}
 
     al_e = rds("i", ALIVE, 0, 0) > 0.0
@@ -515,15 +521,27 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
         ddy = rds("m", PY, dx, dy) - rds("m", PY, 0, 0)
         tgt = rds("m", mb + TGT, 0, 0)
         lst = rds("m", mb + LST, 0, 0)
-        raw = jnp.sqrt(ddx * ddx + ddy * ddy)
-        zero = raw == 0.0
+        d2 = ddx * ddx + ddy * ddy
+        zero = d2 == 0.0
         ddx = jnp.where(zero, 0.0, ddx)
         ddy = jnp.where(zero, jnp.float32(-1.0e-10), ddy)
-        ln = jnp.where(zero, jnp.float32(1.0e-10), raw)
-        fmag = (tgt - ln) * _ec(consts, c, EC_SPR) + (lst - ln) * _ec(
-            consts, c, EC_DMP
-        )
-        inv_ln = 1.0 / ln
+        if rsqrt_kv:
+            # kvar "rsqrt": sqrt + divide (two multi-slot VPU ops) →
+            # rsqrt + multiplies.  ln = d2·rsqrt(d2) is within 1-2 ulp
+            # of sqrt(d2); strain/plasticity/break decisions shift only
+            # at exact rounding boundaries (variant tolerance class).
+            inv_ln = jnp.where(zero, jnp.float32(1.0e10),
+                               jax.lax.rsqrt(d2))
+            ln = jnp.where(zero, jnp.float32(1.0e-10), d2 * inv_ln)
+            fmag = (tgt - ln) * _ec(consts, c, EC_SPR) + (lst - ln) * _ec(
+                consts, c, EC_DMP
+            )
+        else:
+            ln = jnp.where(zero, jnp.float32(1.0e-10), jnp.sqrt(d2))
+            fmag = (tgt - ln) * _ec(consts, c, EC_SPR) + (lst - ln) * _ec(
+                consts, c, EC_DMP
+            )
+            inv_ln = 1.0 / ln
         fvx = jnp.where(active, fmag * ddx * inv_ln, 0.0)
         fvy = jnp.where(active, fmag * ddy * inv_ln, 0.0)
 
@@ -644,13 +662,21 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
             valid = e_al & o_al
             ddx = rde("m", PX, ox, oy) - e_px
             ddy = rde("m", PY, ox, oy) - e_py
-            dist = jnp.sqrt(ddx * ddx + ddy * ddy)
-            coincident = valid & (dist == 0.0)
-            overlap = valid & (dist > 0.0) & (dist < two_r)
+            d2 = ddx * ddx + ddy * ddy
             # sign(lin_i − lin_j) = −sign(ox·H + oy): per-offset constant
             co_sign = jnp.float32(-np.sign(ox * world_h + oy))
+            coincident = valid & (d2 == 0.0)
             t_dyn = jnp.where(coincident, co_sign, 0.0)
-            inv = jnp.where(overlap, 1.0 / jnp.where(overlap, dist, 1.0), 0.0)
+            if rsqrt_kv:
+                overlap = valid & (d2 > 0.0) & (d2 < two_r * two_r)
+                inv = jnp.where(overlap, jax.lax.rsqrt(
+                    jnp.where(overlap, d2, 1.0)), 0.0)
+                dist = d2 * inv
+            else:
+                dist = jnp.sqrt(d2)
+                overlap = valid & (dist > 0.0) & (dist < two_r)
+                inv = jnp.where(
+                    overlap, 1.0 / jnp.where(overlap, dist, 1.0), 0.0)
             nx_ = ddx * inv
             ny_ = ddy * inv
             rvx = e_vx - rde("m", VX, ox, oy)
@@ -719,9 +745,14 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
     a_x = ax + dax + consts[3]
     a_y = ay + day + consts[4]
 
-    speed = jnp.sqrt(v_x * v_x + v_y * v_y)
-    moving = speed > 0.0
-    inv_speed = 1.0 / jnp.where(moving, speed, 1.0)
+    s2 = v_x * v_x + v_y * v_y
+    moving = s2 > 0.0
+    if rsqrt_kv:
+        # drag is masked by ``moving``, so the !moving lane value of
+        # inv_speed is never consumed; rsqrt(s2) ≈ 1/sqrt(s2) to 1-2 ulp
+        inv_speed = jax.lax.rsqrt(jnp.where(moving, s2, 1.0))
+    else:
+        inv_speed = 1.0 / jnp.where(moving, jnp.sqrt(s2), 1.0)
     if "dexp2" in kvar:
         # caller-guaranteed dragExp == 2.0 (checked host-side against
         # the concrete constants): |v|^2 == v·v, so the generic pow —
@@ -750,9 +781,15 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
     a_y = a_y + consts[18] * ustr
     mdx = consts[13] - p_x
     mdy = consts[14] - p_y
-    grabbed = (consts[12] > 0.0) & (
-        jnp.sqrt(mdx * mdx + mdy * mdy) < radius * 10.0
-    )
+    if rsqrt_kv:
+        grab_r = radius * 10.0
+        grabbed = (consts[12] > 0.0) & (
+            mdx * mdx + mdy * mdy < grab_r * grab_r
+        )
+    else:
+        grabbed = (consts[12] > 0.0) & (
+            jnp.sqrt(mdx * mdx + mdy * mdy) < radius * 10.0
+        )
     a_x = a_x + jnp.where(grabbed, (consts[15] - v_x) * ustr - consts[3], 0.0)
     a_y = a_y + jnp.where(grabbed, (consts[16] - v_y) * ustr - consts[4], 0.0)
     a_x = a_x + bfx
@@ -780,10 +817,19 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
 
     keep = al_c & ~pin_c
     oscr = oscr2.at[slot]
-    st_px = jnp.where(keep, cx_, px)
-    st_py = jnp.where(keep, cy_, py)
-    st_vx = jnp.where(keep, nv_x, vx)
-    st_vy = jnp.where(keep, nv_y, vy)
+    if "noint" in kvar:
+        # attribution-only knob (bench_sweep "nf_pipe"): pass the six
+        # particle planes through untouched — the integrate math above
+        # is then dead code (DCE'd by Mosaic), so with stencil 0 +
+        # "nospring" this measures the bare slab pipeline (input DMA →
+        # VMEM plane copies → output DMA).  NOT physics.
+        st_px, st_py, st_vx, st_vy = px, py, vx, vy
+        na_x, na_y, keep = ax, ay, jnp.ones_like(keep)
+    else:
+        st_px = jnp.where(keep, cx_, px)
+        st_py = jnp.where(keep, cy_, py)
+        st_vx = jnp.where(keep, nv_x, vx)
+        st_vy = jnp.where(keep, nv_y, vy)
     oscr[PX, :, :] = st_px
     oscr[PY, :, :] = st_py
     oscr[VX, :, :] = st_vx

@@ -352,7 +352,11 @@ def test_auto_frame_matches_per_substep_rebuild():
     consts, uin = PhysicsConstants.default(), UserInput.none()
     ff = dataclasses.replace(FF, skin=8.0)
 
-    backend = FusedLatticeBackend(spec, cfg, farfield=ff, tile_w=8)
+    # kernel_variants=(): this test pins auto-frame == fresh-list-
+    # every-substep parity against the strict XLA far path, so the
+    # kernel must bit-match the oracle op sequence
+    backend = FusedLatticeBackend(spec, cfg, farfield=ff, tile_w=8,
+                                  kernel_variants=())
     st = backend.pack_state(ls)
     for _ in range(2):
         st = backend.step(st, consts, uin)
@@ -392,7 +396,10 @@ def test_auto_frame_flat_lattice_stays_empty():
     consts, uin = PhysicsConstants.default(), UserInput.none()
     ff = dataclasses.replace(FF, skin=8.0)
 
-    backend = FusedLatticeBackend(spec, cfg, farfield=ff, tile_w=8)
+    # kernel_variants=(): compared bit-exactly against a direct
+    # fused_frame2 call, which defaults to kvar=()
+    backend = FusedLatticeBackend(spec, cfg, farfield=ff, tile_w=8,
+                                  kernel_variants=())
     st = backend.pack_state(ls)
     st = backend.step(st, consts, uin)
     got = backend.unpack_state(st)

@@ -186,8 +186,8 @@ def test_lane_pad_geometries_bit_identical():
     assert lane_pad_hr(128 - LANE_REACH, 128) == 0
 
 
-@pytest.mark.parametrize("kv", [("rollgroup",), ("dexp2",),
-                                ("rollgroup", "dexp2")])
+@pytest.mark.parametrize("kv", [("rollgroup",), ("dexp2",), ("rsqrt",),
+                                ("rollgroup", "rsqrt", "dexp2")])
 def test_fused2_kernel_variants_match_base(kv):
     """Round-4 kernel-variant flags (fused_substep2 ``kvar``) against
     the unflagged kernel.  "rollgroup" batches the partner-shift lane
@@ -211,11 +211,14 @@ def test_fused2_kernel_variants_match_base(kv):
     base, got = outs
     # collision sums are regrouped (one deferred roll per Δy), so f32
     # addition order differs — positions are O(1000), so a few 1e-3 of
-    # absolute drift over 4 contact substeps is order noise, not error
+    # absolute drift over 4 contact substeps is order noise, not error.
+    # "rsqrt" additionally changes per-op rounding (rsqrt+mul vs
+    # sqrt+div, 1-2 ulp), which contact dynamics amplify a bit more.
+    atol_p, atol_v = (5e-2, 2e-1) if "rsqrt" in kv else (1e-2, 5e-2)
     np.testing.assert_allclose(np.asarray(got.pos), np.asarray(base.pos),
-                               rtol=0, atol=1e-2)
+                               rtol=0, atol=atol_p)
     np.testing.assert_allclose(np.asarray(got.vel), np.asarray(base.vel),
-                               rtol=0, atol=5e-2)
+                               rtol=0, atol=atol_v)
     for eg, eb in zip(got.edges, base.edges):
         np.testing.assert_array_equal(np.asarray(eg.alive),
                                       np.asarray(eb.alive))
