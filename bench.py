@@ -133,7 +133,8 @@ def main() -> int:
         # the concrete drag exponent isn't 2.0).  Default = the backend
         # default (measured-best set); BENCH_KVAR=none for the strict
         # oracle-exact kernel.
-        kv_env = os.environ.get("BENCH_KVAR", "rollgroup,rsqrt,dexp2")
+        kv_env = os.environ.get("BENCH_KVAR",
+                                "rollgroup,rsqrt,dexp2,lanecut,krec")
         kvar = tuple(x for x in kv_env.split(",") if x and x != "none")
         backend = FusedLatticeBackend(spec, cfg, farfield=ff,
                                       tile_w=tile_w, far_mode=far_mode,

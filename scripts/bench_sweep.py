@@ -93,6 +93,67 @@ CONFIGS = [
                    "kvar": ("nospring",)}),
     ("nf_rgrs32", {"far": False, "tile_w": 32,
                    "kvar": ("rollgroup", "rsqrt", "dexp2")}),
+    # "outfull": full-lane-row output DMA (one contiguous ~294 KB run
+    # per plane per slab instead of 64 strided 4 KB chunks), +12%
+    # written bytes.  nf_pipe_of isolates its effect on the bare pipe.
+    ("nf_of", {"far": False,
+               "kvar": ("rollgroup", "rsqrt", "dexp2", "outfull")}),
+    ("of", {"kvar": ("rollgroup", "rsqrt", "dexp2", "outfull")}),
+    ("nf_pipe_of", {"far": False, "stencil": 0,
+                    "kvar": ("nospring", "noint", "outfull")}),
+    # "lanecut": pack without the bottom lane pad (pad_hl=0) — at 1M
+    # the lane dim drops 1152 → 1024 (−11% input DMA / rotations /
+    # VMEM) and outputs become full rows.  Bit-exact (zero-filled
+    # rotation halos).
+    ("nf_lc", {"far": False,
+               "kvar": ("rollgroup", "rsqrt", "dexp2", "lanecut")}),
+    ("lc", {"kvar": ("rollgroup", "rsqrt", "dexp2", "lanecut")}),
+    ("nf_pipe_lc", {"far": False, "stencil": 0,
+                    "kvar": ("nospring", "noint", "lanecut")}),
+    # "inbuf3": 3-deep input buffering (slabs i+1 AND i+2 in flight)
+    ("nf_ib3", {"far": False,
+                "kvar": ("rollgroup", "rsqrt", "dexp2", "inbuf3")}),
+    ("nf_lcib", {"far": False, "kvar": ("rollgroup", "rsqrt", "dexp2",
+                                        "lanecut", "inbuf3")}),
+    ("lcib", {"kvar": ("rollgroup", "rsqrt", "dexp2",
+                       "lanecut", "inbuf3")}),
+    ("nf_pipe_ib3", {"far": False, "stencil": 0,
+                     "kvar": ("nospring", "noint", "inbuf3")}),
+    ("nf_pipe_lcib", {"far": False, "stencil": 0,
+                      "kvar": ("nospring", "noint", "lanecut",
+                               "inbuf3")}),
+    # ("padw4", a 4-column sublane halo, measured UNLOWEABLE 08-20:
+    # Mosaic pins HBM sublane DMA offsets to multiples of 8 — "Failed
+    # to prove that a tile index in dimension 1 is divisible by the
+    # tiling (8)".  The same bytes are instead chased by wider tiles:)
+    # tile_w=128 under lanecut (the r3 tile128 dead-end verdict
+    # predates lanecut's −11% VMEM/byte cut; halo fraction halves)
+    ("nf_pipe_lc128", {"far": False, "stencil": 0, "tile_w": 128,
+                       "kvar": ("nospring", "noint", "lanecut")}),
+    ("nf_lc128", {"far": False, "tile_w": 128,
+                  "kvar": ("rollgroup", "rsqrt", "dexp2", "lanecut")}),
+    ("lc128", {"tile_w": 128,
+               "kvar": ("rollgroup", "rsqrt", "dexp2", "lanecut")}),
+    # "kmirror": the kernel emits each substep's far-apply mirror
+    # records as a side output riding the scan carry — the apply's
+    # granularity-bound [5,w,h]→records relayout (~0.185 ms/substep)
+    # runs once per frame instead of per substep
+    ("lckm", {"kvar": ("rollgroup", "rsqrt", "dexp2",
+                       "lanecut", "kmirror")}),
+    ("km", {"kvar": ("rollgroup", "rsqrt", "dexp2", "kmirror")}),
+    # "krec": the apply returns delta RECORDS and the kernel consumes
+    # them (implies the kmirror carry) — both far relayouts gone
+    ("lckr", {"kvar": ("rollgroup", "rsqrt", "dexp2",
+                       "lanecut", "krec")}),
+    # cadence re-sweep under krec: with the apply's fixed relayouts
+    # gone, the rebuild÷cadence term (~0.42 at 8) is relatively bigger
+    # and the cost of a longer extrusion horizon relatively smaller
+    ("lckr_c12", {"cadence": 12,
+                  "kvar": ("rollgroup", "rsqrt", "dexp2",
+                           "lanecut", "krec")}),
+    ("lckr_c16", {"cadence": 16,
+                  "kvar": ("rollgroup", "rsqrt", "dexp2",
+                           "lanecut", "krec")}),
 ]
 
 

@@ -369,7 +369,8 @@ class FusedLatticeBackend(LatticeBackend):
                  far_mb_out: Optional[int] = None,
                  far_detect: str = "xla",
                  kernel_variants: Tuple[str, ...] = (
-                     "rollgroup", "rsqrt", "dexp2")) -> None:
+                     "rollgroup", "rsqrt", "dexp2", "lanecut",
+                     "krec")) -> None:
         super().__init__(spec, cfg, farfield=farfield)
         self.tile_w = tile_w
         # Static kernel-variant flags threaded into the fused kernel
@@ -380,8 +381,8 @@ class FusedLatticeBackend(LatticeBackend):
         # "nospring" (attribution-only, NOT physics).
         #
         # The default is the measured-best set (1M tearing cloth, v5e:
-        # kernel 0.888 → 0.784 ms/substep, full physics 568 → 602
-        # substeps/s, bench_sweep r4).  All three preserve semantics
+        # kernel 0.888 → 0.767 ms/substep, full physics 568 → 616
+        # substeps/s, bench_sweep r4; "lanecut" below).  The f32 ones
         # within f32 rounding: rollgroup only regroups f32 collision
         # sums (quantized spring sums stay bit-identical), dexp2 is the
         # correctly-rounded value the generic pow approximates, rsqrt
@@ -392,6 +393,39 @@ class FusedLatticeBackend(LatticeBackend):
         # sequence (what the cross-path parity tests pin).  Applies to
         # the v2/v4 frames; the legacy v3 far frame ignores it.
         self.kvar = tuple(kernel_variants)
+        # "lanecut" packs the hot/obs/immut stacks WITHOUT the bottom
+        # lane pad (pad_hl=0; fused_substep2.pack_lattice2) — the kernel
+        # serves −dy halo reads from zero-filled rotations instead.
+        # Measured (bench_sweep r4): bare slab pipe 0.601 → 0.555
+        # ms/substep, full physics 600 → 616 substeps/s at 1M; bit-exact
+        # (tests/test_fused4.py::test_pipeline_layout_kvars_bit_exact).
+        # Layout-level flag: the v3 far frames still assume the classic
+        # PAD_H layout, so v3 silently keeps it (drop, not error — the
+        # default kvar includes "lanecut").
+        # "kmirror": the kernel emits each substep's far-apply mirror
+        # records as a side output riding the scan carry, so the
+        # apply's granularity-bound [5,w,h]→records relayout runs once
+        # per frame instead of per substep.  Measured same-session A/B
+        # (bench_sweep r4): 613.1 → 624.9 substeps/s at the 1M tear;
+        # bit-exact (same test).
+        # "krec" (default; implies the kmirror carry): the apply also
+        # returns delta RECORDS and the kernel consumes them directly —
+        # the unmirror relayout disappears too.  Measured same-session
+        # A/B: kmirror 629.4 → krec 657.8 substeps/s = 1.32×; bit-exact
+        # (same test).
+        if far_mode == "v3" and "lanecut" in self.kvar:
+            self.kvar = tuple(v for v in self.kvar if v != "lanecut")
+        # (a "padw4" thin-sublane-halo layout was built and measured
+        # unloweable — Mosaic pins sublane DMA offsets to multiples of
+        # 8; see fused_substep2._kvar_pads.)
+        self._pad_hl = 0 if "lanecut" in self.kvar else None
+        # "kmirror"/"krec" (kernel-produced far-apply mirror records /
+        # kernel-consumed delta records riding the scan carry) are v4
+        # xla-detect features; v3 frames and kernel-side detection
+        # silently drop them, like lanecut
+        if far_mode == "v3" or far_detect == "kernel":
+            self.kvar = tuple(v for v in self.kvar
+                              if v not in ("kmirror", "krec"))
         # "v4": fixed-cadence rebuilds + mirror-table apply (the round-3
         # default; ops/farfield4.py).  "v3": triggered rebuilds with
         # kernel-side detection, far state carried across frames.
@@ -428,7 +462,8 @@ class FusedLatticeBackend(LatticeBackend):
         and a template for unpacking."""
         from ..ops.pallas.fused_substep2 import pack_lattice2
 
-        hot, obs, immut, ec = pack_lattice2(lstate, tile_w=self.tile_w)
+        hot, obs, immut, ec = pack_lattice2(lstate, tile_w=self.tile_w,
+                                            **self._pad_kw())
         self._immut = immut
         self._edge_consts = ec
         self._template = lstate
@@ -440,11 +475,20 @@ class FusedLatticeBackend(LatticeBackend):
         self._far_trig = None
         return (hot, obs)
 
+    def _pad_kw(self):
+        """Layout overrides implied by the kvar flags ({"pad_hl": 0}
+        under lanecut); {} keeps the classic-default signatures
+        untouched."""
+        kw = {}
+        if self._pad_hl is not None:
+            kw["pad_hl"] = self._pad_hl
+        return kw
+
     def unpack_state(self, state):
         from ..ops.pallas.fused_substep2 import unpack_lattice2
 
         hot, obs = state
-        return unpack_lattice2(hot, obs, self._template)
+        return unpack_lattice2(hot, obs, self._template, **self._pad_kw())
 
     def _frame_chunk(self, state, consts, uin, n_sub, observe):
         from ..ops.pallas.fused_substep2 import fused_frame2, fused_frame2_far
@@ -457,6 +501,7 @@ class FusedLatticeBackend(LatticeBackend):
                 self._far_active, consts, uin, self.spec, self.cfg,
                 self.ff, tile_w=self.tile_w, interpret=interp,
                 n_sub=n_sub, observe=observe,
+                kvar=self._checked_kvar(consts),
             )
         return fused_frame2(hot, obs, self._immut, self._edge_consts,
                             consts, uin, self.spec, self.cfg,

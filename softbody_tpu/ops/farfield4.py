@@ -222,6 +222,8 @@ def bucketed_far_delta_from_fn(
     buckets: Tuple[int, ...] = (1024, 4096),
     mb: int = MB,
     mb_out: Optional[int] = None,
+    table: Optional[jax.Array] = None,
+    as_table: bool = False,
 ):
     """Core bucketed apply over a DEFERRED plane source: crop the pair
     list to the smallest capacity bucket ≥ n_pairs so light frames
@@ -229,7 +231,28 @@ def bucketed_far_delta_from_fn(
     ``[5, w, h]`` (zero when no pairs).  ``planes5_fn() -> [5, w, h]``
     (px, py, vx, vy, alive) is called INSIDE the non-empty branches, so
     whatever stacking/slicing it does costs nothing on pair-free
-    substeps."""
+    substeps.
+
+    ``table``: a pre-built ``[Cm, 640]`` mirror of the SAME state the
+    planes describe (the fused kernel's "kmirror" side output) — the
+    mirror buckets then skip their ``mirror_table`` relayout
+    (~0.185 ms/substep at 1M, probe_r5e) and gather straight from it.
+    The narrow small-bucket path keeps reading planes: its win is
+    skipping the fixed unmirror, which a pre-built gather table does
+    not remove.
+
+    ``as_table`` (kvar "krec"; requires ``table``): return the DELTA
+    record table ``[Cm, 640]`` instead of planes — the fused kernel
+    consumes it directly and the unmirror disappears.  With both
+    relayouts free, the mirror path is cheapest at EVERY bucket (cost
+    ∝ gathered rows), so the narrow small-bucket variant is skipped;
+    when a custom ladder has buckets ≤ 256 this changes the f32
+    scatter-add order vs the planes mode (same set of contributions)."""
+    if table is not None:
+        assert mb == MB, "pre-built mirror tables are mb=32 layout"
+    if as_table:
+        assert table is not None, "as_table needs a pre-built mirror"
+        assert mb_out in (None, MB), "as_table emits mb=32 delta records"
     # chunk-id decode (cx = id // (h // chunk)) matches the rebuild's
     # TILE-PADDED chunk-grid encoding only under these alignments
     assert h % (ff.chunk * ff.tile_chunks) == 0, (
@@ -241,11 +264,10 @@ def bucketed_far_delta_from_fn(
     )
 
     def apply_k(k, _):
-        planes5 = planes5_fn()
         flk = crop_far_list(fl, k)
         kwargs = dict(s=s, ff=ff, radius=radius, dt=dt, ecoeff=ecoeff,
                       friction=friction, w=w, h=h)
-        if k <= 256:
+        if k <= 256 and not as_table:
             # narrow-row variant: traffic ∝ K (40 rows/pair), no
             # relayout.  Scan-amortized 1M measurements (probe_r5b;
             # earlier per-call timings were dispatch-bound): narrow
@@ -253,10 +275,13 @@ def bucketed_far_delta_from_fn(
             # 0.74 @4096 — the mirror's fixed relayout (~0.5 ms)
             # beats narrow's row traffic well below 1k pairs, so
             # narrow only pays for near-empty buckets
-            return far_delta_planes_narrow(planes5, flk, **kwargs)
-        table = mirror_table(planes5, mb=mb)
-        dtab = far_terms_from_mirror(table, flk, mb=mb, mb_out=mb_out,
+            return far_delta_planes_narrow(planes5_fn(), flk, **kwargs)
+        t = (mirror_table(planes5_fn(), mb=mb) if table is None
+             else table)
+        dtab = far_terms_from_mirror(t, flk, mb=mb, mb_out=mb_out,
                                      **kwargs)
+        if as_table:
+            return dtab
         return unmirror_table(dtab, w=w, h=h,
                               mb=mb if mb_out is None else mb_out)
 
@@ -264,7 +289,11 @@ def bucketed_far_delta_from_fn(
         (fl.n_pairs > jnp.int32(b)).astype(jnp.int32)
         for b in all_buckets[:-1]
     )
-    branches = [lambda _: jnp.zeros((NF, w, h), jnp.float32)]
+    if as_table:
+        cm = (_mh(h, MB) // MB) * (w // RX)
+        branches = [lambda _: jnp.zeros((cm, REC), jnp.float32)]
+    else:
+        branches = [lambda _: jnp.zeros((NF, w, h), jnp.float32)]
     for b in all_buckets:
         branches.append(functools.partial(apply_k, b))
     return jax.lax.switch(
@@ -290,12 +319,16 @@ def bucketed_far_delta_planes(
     buckets: Tuple[int, ...] = (1024, 4096),
     mb: int = MB,
     mb_out: Optional[int] = None,
+    table: Optional[jax.Array] = None,
+    as_table: bool = False,
 ):
     """Bucketed apply over the PACKED hot stack (``plane_idx`` = the
     px/py/vx/vy rows, ``pad`` = the stack's interior offset) plus the
     interior alive plane — interior slicing and the 20 MB planes5 stack
     both run inside the non-empty branches
-    (:func:`bucketed_far_delta_from_fn`)."""
+    (:func:`bucketed_far_delta_from_fn`).  ``table``: optional
+    pre-built mirror of the same state (kernel "kmirror" output);
+    ``as_table``: return delta records instead of planes (krec)."""
     ipx, ipy, ivx, ivy = plane_idx
     pw, ph = pad
 
@@ -311,7 +344,7 @@ def bucketed_far_delta_planes(
     return bucketed_far_delta_from_fn(
         planes5_fn, fl, s=s, ff=ff, radius=radius, dt=dt, ecoeff=ecoeff,
         friction=friction, w=w, h=h, buckets=buckets, mb=mb,
-        mb_out=mb_out,
+        mb_out=mb_out, table=table, as_table=as_table,
     )
 
 

@@ -186,6 +186,8 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
              quantized: bool, has_far: bool, obs: bool,
              trig: bool = False, detect: bool = False,
              far_interior: bool = False, pad_hr: int = PAD_H,
+             pad_hl: int = PAD_H, pad_w: int = PAD_W,
+             emit_mirror: bool = False, far_records: bool = False,
              kvar: Tuple[str, ...] = ()):
     idx = 0
     mut_ref = refs[idx]; idx += 1
@@ -198,17 +200,21 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
     if trig:
         refs_ref = refs[idx]; idx += 1
     out_ref = refs[idx]; idx += 1
-    obs_ref = stats_ref = side_ref = None
+    obs_ref = stats_ref = side_ref = mir_ref = None
     if obs:
         obs_ref = refs[idx]; idx += 1
     if trig:
         stats_ref = refs[idx]; idx += 1
     if detect:
         side_ref = refs[idx]; idx += 1
+    if emit_mirror:
+        mir_ref = refs[idx]; idx += 1
     mscr2 = refs[idx]; idx += 1
     iscr2 = refs[idx]; idx += 1
     fscr2 = rscr2 = None
-    if has_far:
+    if has_far and not far_records:
+        # (in far_records mode the far input is a Pallas-pipelined VMEM
+        # block — no manual DMA scratch)
         fscr2 = refs[idx]; idx += 1
     if trig:
         rscr2 = refs[idx]; idx += 1
@@ -221,85 +227,113 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
 
     i = pl.program_id(0)
     n_slabs = pl.num_programs(0)
-    bw = tile_w + 2 * PAD_W
-    bh = world_h + PAD_H + pad_hr
+    # pad_w is pinned to multiples of 8 (Mosaic sublane-tile DMA
+    # alignment — see _kvar_pads for the measured pad_w=4 dead end)
+    bw = tile_w + 2 * pad_w
+    # kvar "lanecut" (applied via pad_hl=0): the packed stacks carry NO
+    # bottom lane pad — −dy reads go through the rotated copies' bottom
+    # zero-fill exactly like the pad_hr=0 top trick.  At the 1M bench
+    # (pad_hl=0, pad_hr=0) the lane dim is 1152 → 1024: −11% on every
+    # input DMA / rotation copy / VMEM plane, and output rows become
+    # full-width (contiguous writes) for free.
+    bh = world_h + pad_hl + pad_hr
     th = world_h
     s = stencil
 
-    slot = jax.lax.rem(i, 2)
-    nxt = jax.lax.rem(i + 1, 2)
+    # kvar "inbuf3": 3-deep input buffering — inputs for slabs i+1 AND
+    # i+2 are in flight while slab i computes (the default double
+    # buffer only hides one slab of DMA issue latency).  Output stays
+    # double-buffered (its drain is already two slabs deep).
+    depth = 3 if "inbuf3" in kvar else 2
+    islot = jax.lax.rem(i, depth)
+    oslot = jax.lax.rem(i, 2)
+    onxt = jax.lax.rem(i + 1, 2)
+    # DMA semaphore layout (depth-parametric; depth=2 reproduces the
+    # classic indices): mut s, immut depth+s, far 2·depth+s,
+    # out 3·depth+os, obs-out 3·depth+2, obs-in 3·depth+3,
+    # trig 3·depth+4+s
+    sem_out = 3 * depth
+    sem_obs = 3 * depth + 2
+    sem_obs_in = 3 * depth + 3
+    sem_trig = 3 * depth + 4
 
-    # ---------------- input pipeline (double-buffered) -------------------
+    # ---------------- input pipeline ------------------------------------
     def start_in(dst_slot, slab):
         pltpu.make_async_copy(
             mut_ref.at[:, pl.ds(slab * tile_w, bw), :],
-            mscr2.at[dst_slot], sems.at[2 * dst_slot],
+            mscr2.at[dst_slot], sems.at[dst_slot],
         ).start()
         pltpu.make_async_copy(
             immut_ref.at[:, pl.ds(slab * tile_w, bw), :],
-            iscr2.at[dst_slot], sems.at[2 * dst_slot + 1],
+            iscr2.at[dst_slot], sems.at[depth + dst_slot],
         ).start()
-        if has_far:
+        if has_far and not far_records:
             if far_interior:
                 far_src = far_ref.at[:, pl.ds(slab * tile_w, tile_w), :]
             else:
                 far_src = far_ref.at[
-                    :, pl.ds(PAD_W + slab * tile_w, tile_w),
-                    pl.ds(PAD_H, th)]
+                    :, pl.ds(pad_w + slab * tile_w, tile_w),
+                    pl.ds(pad_hl, th)]
             pltpu.make_async_copy(
-                far_src, fscr2.at[dst_slot], sems.at[4 + dst_slot],
+                far_src, fscr2.at[dst_slot], sems.at[2 * depth + dst_slot],
             ).start()
         if trig:
             pltpu.make_async_copy(
-                refs_ref.at[:, pl.ds(PAD_W + slab * tile_w, tile_w),
-                            pl.ds(PAD_H, th)],
-                rscr2.at[dst_slot], sems.at[10 + dst_slot],
+                refs_ref.at[:, pl.ds(pad_w + slab * tile_w, tile_w),
+                            pl.ds(pad_hl, th)],
+                rscr2.at[dst_slot], sems.at[sem_trig + dst_slot],
             ).start()
 
     @pl.when(i == 0)
     def _():
-        start_in(slot, i)
+        start_in(islot, i)
 
-    @pl.when(i + 1 < n_slabs)
+    for k in range(1, depth - 1):
+        # depth-3 prologue: prefetch slab k at grid step 0
+        @pl.when((i == 0) & (k < n_slabs))
+        def _(k=k):
+            start_in(k % depth, k)
+
+    @pl.when(i + depth - 1 < n_slabs)
     def _():
-        start_in(nxt, i + 1)
+        start_in(jax.lax.rem(i + depth - 1, depth), i + depth - 1)
 
     if obs:
         # previous obs values (retention for inactive edges): own slab's
         # center window, single-buffered — the observing call runs once
         # per frame
         obs_in_cp = pltpu.make_async_copy(
-            obs_in_ref.at[:, pl.ds(PAD_W + i * tile_w, tile_w),
-                          pl.ds(PAD_H, th)],
-            obscr, sems.at[9],
+            obs_in_ref.at[:, pl.ds(pad_w + i * tile_w, tile_w),
+                          pl.ds(pad_hl, th)],
+            obscr, sems.at[sem_obs_in],
         )
         obs_in_cp.start()
 
     pltpu.make_async_copy(
-        mut_ref.at[:, pl.ds(i * tile_w, bw), :], mscr2.at[slot],
-        sems.at[2 * slot],
+        mut_ref.at[:, pl.ds(i * tile_w, bw), :], mscr2.at[islot],
+        sems.at[islot],
     ).wait()
     pltpu.make_async_copy(
-        immut_ref.at[:, pl.ds(i * tile_w, bw), :], iscr2.at[slot],
-        sems.at[2 * slot + 1],
+        immut_ref.at[:, pl.ds(i * tile_w, bw), :], iscr2.at[islot],
+        sems.at[depth + islot],
     ).wait()
-    if has_far:
+    if has_far and not far_records:
         if far_interior:
             far_src0 = far_ref.at[:, pl.ds(i * tile_w, tile_w), :]
         else:
-            far_src0 = far_ref.at[:, pl.ds(PAD_W + i * tile_w, tile_w),
-                                  pl.ds(PAD_H, th)]
+            far_src0 = far_ref.at[:, pl.ds(pad_w + i * tile_w, tile_w),
+                                  pl.ds(pad_hl, th)]
         pltpu.make_async_copy(
-            far_src0, fscr2.at[slot], sems.at[4 + slot],
+            far_src0, fscr2.at[islot], sems.at[2 * depth + islot],
         ).wait()
     if trig:
         pltpu.make_async_copy(
-            refs_ref.at[:, pl.ds(PAD_W + i * tile_w, tile_w),
-                        pl.ds(PAD_H, th)],
-            rscr2.at[slot], sems.at[10 + slot],
+            refs_ref.at[:, pl.ds(pad_w + i * tile_w, tile_w),
+                        pl.ds(pad_hl, th)],
+            rscr2.at[islot], sems.at[sem_trig + islot],
         ).wait()
-    mscr = mscr2.at[slot]
-    iscr = iscr2.at[slot]
+    mscr = mscr2.at[islot]
+    iscr = iscr2.at[islot]
 
     if obs:
         obs_in_cp.wait()
@@ -315,7 +349,7 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
     def write_rot(sl_, src, dy):
         if dy > 0:
             prscr[sl_, :, : bh - dy] = src[:, dy:]
-            if pad_hr < PAD_H:
+            if dy > pad_hr:
                 # with the rounding-slack right pad the top dy lanes of
                 # the read window are this unwritten tail; they are
                 # dead-interior lanes (alive=0 in the base planes), but
@@ -323,6 +357,12 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
                 prscr[sl_, :, bh - dy :] = jnp.zeros((bw, dy), src.dtype)
         else:
             prscr[sl_, :, -dy:] = src[:, : bh + dy]
+            if -dy > pad_hl:
+                # no (or thin) bottom lane pad: the first |dy| lanes of
+                # the rotated copy fall inside the read window — same
+                # inert-zero fill as the top (they represent below-world
+                # cells, dead by construction)
+                prscr[sl_, :, : -dy] = jnp.zeros((bw, -dy), src.dtype)
 
     for (kind, p, dy), sl_ in rot_slots.items():
         if (kind, p, dy) not in base_specs:
@@ -336,7 +376,7 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
             src = mscr[p] if kind == "m" else iscr[p]
         else:
             src = prscr[rot_slots[(kind, p, oy)]]
-        return src[PAD_W + ox : PAD_W + ox + tile_w, PAD_H : PAD_H + th]
+        return src[pad_w + ox : pad_w + ox + tile_w, pad_hl : pad_hl + th]
 
     radius = consts[0]
     dt = consts[1]
@@ -415,8 +455,8 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
 
             def rd_dev(ox, oy):
                 src = dev_full if oy == 0 else prscr[rot_slots[("d", 0, oy)]]
-                return src[PAD_W + ox : PAD_W + ox + tile_w,
-                           PAD_H : PAD_H + th]
+                return src[pad_w + ox : pad_w + ox + tile_w,
+                           pad_hl : pad_hl + th]
 
             dev_c = rd_dev(0, 0)
             base_reach = consts[xb + X_REACH]
@@ -461,8 +501,8 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
             src = mscr[p] if kind == "m" else iscr[p]
         else:
             src = prscr[rot_slots[(kind, p, oy)]]
-        return src[PAD_W - 1 + ox : PAD_W - 1 + ox + wsp,
-                   PAD_H : PAD_H + th]
+        return src[pad_w - 1 + ox : pad_w - 1 + ox + wsp,
+                   pad_hl : pad_hl + th]
 
     def lane_shift(a, dy):
         """out[:, y] = a[:, y−dy], zero-filled (out-of-range partners
@@ -630,8 +670,8 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
                 src = mscr[p] if kind == "m" else iscr[p]
             else:
                 src = prscr[rot_slots[(kind, p, oy)]]
-            return src[PAD_W - s + ox : PAD_W - s + ox + wext,
-                       PAD_H : PAD_H + th]
+            return src[pad_w - s + ox : pad_w - s + ox + wext,
+                       pad_hl : pad_hl + th]
 
         def lshift(a, dy):
             """out[:, y] = a[:, y−dy] (zero fill): the reaction's lane
@@ -722,8 +762,42 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
                     acc_i * tile_w : (acc_i + 1) * tile_w]
             dvx, dvy, dax, day, dyn = accs
 
-    if has_far:
-        fscr = fscr2.at[slot]
+    if has_far and far_records:
+        # kvar "krec": the far delta arrives as the apply's record
+        # TABLE (farfield4 layout, this slab's [nb, tile_w/4, 640]
+        # block) instead of dense planes — the XLA side then skips its
+        # granularity-bound records→planes unmirror (~0.28 ms/substep
+        # at 1M, probe_r5e).  Reassembly: 32-lane static concats bring
+        # each (field, ix) to [tile_w/4, th], a sublane concat stacks
+        # the four ix groups, and one one-hot un-permutation MXU matmul
+        # per field (exact: one nonzero product per output) restores
+        # plane row order r = 4c+ix ← concat row ix·(tile_w/4)+c.
+        tw4_r = tile_w // 4
+        nbk = th // 32
+        _rg = jax.lax.broadcasted_iota(jnp.int32, (tile_w, tile_w), 0)
+        _cg = jax.lax.broadcasted_iota(jnp.int32, (tile_w, tile_w), 1)
+        _G = (_cg == (_rg % 4) * tw4_r + _rg // 4).astype(jnp.float32)
+        far_deltas = []
+        for f_ in range(5):
+            dparts = []
+            for ix_ in range(4):
+                off_ = f_ * 128 + ix_ * 32
+                dparts.append(jnp.concatenate(
+                    [far_ref[b_, :, off_ : off_ + 32]
+                     for b_ in range(nbk)], axis=1))
+            dcat = jnp.concatenate(dparts, axis=0)
+            far_deltas.append(jax.lax.dot_general(
+                _G, dcat, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            ))
+        dvx = dvx + far_deltas[0]
+        dvy = dvy + far_deltas[1]
+        dax = dax + far_deltas[2]
+        day = day + far_deltas[3]
+        dyn = dyn + far_deltas[4]
+    elif has_far:
+        fscr = fscr2.at[islot]
         dvx = dvx + fscr[0]
         dvy = dvy + fscr[1]
         dax = dax + fscr[2]
@@ -816,7 +890,29 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
     nv_y = jnp.where(hit_y, v_y * -be, v_y)
 
     keep = al_c & ~pin_c
-    oscr = oscr2.at[slot]
+    # kvar "outfull": emit FULL lane rows ([.., bh] incl. the PAD_H /
+    # pad_hr lane pads, pre-zeroed) so the output DMA's lane window
+    # covers the whole row — the 64 rows of each plane then form ONE
+    # contiguous HBM run (~294 KB) instead of 64 strided 4 KB chunks.
+    # Trades +PAD_H/bh (~12%) written bytes for coarse write
+    # granularity; A/B'd via bench_sweep "outfull".
+    outfull = "outfull" in kvar or (pad_hl == 0 and pad_hr == 0)
+    oscr = oscr2.at[oslot]
+    ol = pad_hl if outfull else 0
+    if outfull and (pad_hl or pad_hr):
+        @pl.when(i < 2)
+        def _():
+            # one-time zero of this slot's lane pads; later slabs only
+            # rewrite the interior window so the pads stay zero (the
+            # packed stacks' lane pads are zero by construction)
+            if pad_hl:
+                zpad = jnp.zeros((tile_w, pad_hl), jnp.float32)
+                for p_ in range(N_HOT):
+                    oscr[p_, :, :pad_hl] = zpad
+            if pad_hr:
+                ztail = jnp.zeros((tile_w, pad_hr), jnp.float32)
+                for p_ in range(N_HOT):
+                    oscr[p_, :, pad_hl + th:] = ztail
     if "noint" in kvar:
         # attribution-only knob (bench_sweep "nf_pipe"): pass the six
         # particle planes through untouched — the integrate math above
@@ -830,12 +926,12 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
         st_py = jnp.where(keep, cy_, py)
         st_vx = jnp.where(keep, nv_x, vx)
         st_vy = jnp.where(keep, nv_y, vy)
-    oscr[PX, :, :] = st_px
-    oscr[PY, :, :] = st_py
-    oscr[VX, :, :] = st_vx
-    oscr[VY, :, :] = st_vy
-    oscr[AX, :, :] = jnp.where(keep, na_x, ax)
-    oscr[AY, :, :] = jnp.where(keep, na_y, ay)
+    oscr[PX, :, ol : ol + th] = st_px
+    oscr[PY, :, ol : ol + th] = st_py
+    oscr[VX, :, ol : ol + th] = st_vx
+    oscr[VY, :, ol : ol + th] = st_vy
+    oscr[AX, :, ol : ol + th] = jnp.where(keep, na_x, ax)
+    oscr[AY, :, ol : ol + th] = jnp.where(keep, na_y, ay)
 
     if trig:
         # trigger partials of the OUTPUT state vs the far list's linear
@@ -846,7 +942,7 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
         # ≥ max(|dd| + c·|dv|) with two scalar sqrts, instead of two
         # per-particle sqrt planes per substep here.
         xb2 = N_CONSTS + N_EDGEC
-        rscr = rscr2.at[slot]
+        rscr = rscr2.at[islot]
         tau = consts[xb2 + X_TAU]
         rddx = st_px - (rscr[0] + rscr[2] * tau)
         rddy = st_py - (rscr[1] + rscr[3] * tau)
@@ -863,25 +959,63 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
     for c in range(4):
         mb = 6 + c * 3
         tgt, lst, eal = hot_updates[c]
-        oscr[mb + TGT, :, :] = tgt
-        oscr[mb + LST, :, :] = lst
-        oscr[mb + EAL, :, :] = eal
+        oscr[mb + TGT, :, ol : ol + th] = tgt
+        oscr[mb + LST, :, ol : ol + th] = lst
+        oscr[mb + EAL, :, ol : ol + th] = eal
+
+    if emit_mirror:
+        # ---------------- far-field mirror records (kvar "kmirror") ------
+        # Emit the OUTPUT state's (4, 32) far-apply records
+        # (ops/farfield4.mirror_table layout: row b·(w/4)+cx holds
+        # plane rows 4cx..4cx+3, lanes [32b, 32b+32), as [5 fields ×
+        # 4 rows × 32 lanes]) directly from VMEM, so the XLA apply
+        # skips its granularity-bound [5,w,h]→records relayout
+        # (~0.185 ms/substep at 1M, probe_r5e).  The sublane→lane
+        # movement Mosaic can't reshape (<128-lane granularity) is done
+        # as 4 one-hot row-pick MXU matmuls per field (exact: each
+        # output sums one nonzero product) + static 32-lane placements.
+        # The mir block's slab window offset is (tile_w/4)·i — an
+        # 8-aligned sublane slice for every tile_w ≥ 32.
+        tw4 = tile_w // 4
+        _mrows = jax.lax.broadcasted_iota(jnp.int32, (tw4, tile_w), 0)
+        _mcols = jax.lax.broadcasted_iota(jnp.int32, (tw4, tile_w), 1)
+
+        def pick4(v, ix_):
+            """[tile_w, th] → [tile_w/4, th]: row j = input row 4j+ix."""
+            sel = (_mcols == 4 * _mrows + ix_).astype(jnp.float32)
+            return jax.lax.dot_general(
+                sel, v, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+
+        mir_fields = (st_px, st_py, st_vx, st_vy,
+                      rd("i", ALIVE, 0, 0))
+        for f_, v_ in enumerate(mir_fields):
+            for ix_ in range(4):
+                rsel = pick4(v_, ix_)
+                off_ = f_ * 128 + ix_ * 32
+                for b_ in range(th // 32):
+                    mir_ref[b_, :, off_ : off_ + 32] = (
+                        rsel[:, 32 * b_ : 32 * b_ + 32])
 
     # ---------------- output pipeline (double-buffered) ------------------
     def out_copy(src_slot, slab):
+        if outfull:
+            dst = out_ref.at[:, pl.ds(pad_w + slab * tile_w, tile_w), :]
+        else:
+            dst = out_ref.at[:, pl.ds(pad_w + slab * tile_w, tile_w),
+                             pl.ds(pad_hl, th)]
         return pltpu.make_async_copy(
-            oscr2.at[src_slot],
-            out_ref.at[:, pl.ds(PAD_W + slab * tile_w, tile_w),
-                       pl.ds(PAD_H, th)],
-            sems.at[6 + src_slot],
+            oscr2.at[src_slot], dst, sems.at[sem_out + src_slot],
         )
 
     # the copy we started two slabs ago used this slot — drain it first
     @pl.when(i >= 2)
     def _():
-        out_copy(slot, i - 2).wait()
+        out_copy(oslot, i - 2).wait()
 
-    out_copy(slot, i).start()
+    out_copy(oslot, i).start()
 
     if obs:
         for c in range(4):
@@ -890,9 +1024,9 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
             obscr[c * 2 + STS, :, :] = sts
         cp = pltpu.make_async_copy(
             obscr,
-            obs_ref.at[:, pl.ds(PAD_W + i * tile_w, tile_w),
-                       pl.ds(PAD_H, th)],
-            sems.at[8],
+            obs_ref.at[:, pl.ds(pad_w + i * tile_w, tile_w),
+                       pl.ds(pad_hl, th)],
+            sems.at[sem_obs],
         )
         cp.start()
         cp.wait()
@@ -900,11 +1034,11 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
     # drain pending output copies before the kernel retires
     @pl.when(i == n_slabs - 1)
     def _():
-        out_copy(slot, i).wait()
+        out_copy(oslot, i).wait()
 
     @pl.when((i == n_slabs - 1) & (n_slabs > 1))
     def _():
-        out_copy(nxt, i - 1).wait()
+        out_copy(onxt, i - 1).wait()
 
 
 # ---------------------------------------------------------------------------
@@ -927,9 +1061,20 @@ def uniform_edge_consts(state) -> Optional[jax.Array]:
     return jnp.asarray(vals, jnp.float32)
 
 
-def pack_lattice2(state, tile_w: int = 128):
+def pack_lattice2(state, tile_w: int = 128, pad_hl: int = PAD_H,
+                  pad_w: int = PAD_W):
     """LatticeState → (hot [18,Wp,Hp], obs [8,Wp,Hp], immut [2,Wp,Hp],
-    edge_consts [20]). Raises if edge parameters vary spatially."""
+    edge_consts [20]). Raises if edge parameters vary spatially.
+
+    ``pad_hl=0`` (the "lanecut" layout) drops the bottom lane pad —
+    −dy halo reads are served by the kernel's zero-filled rotations
+    instead.  At 1M (lane dim 1152 → 1024) that is ~11% off every
+    input DMA / rotation copy / VMEM plane.
+
+    ``pad_w`` is pinned to multiples of 8 by Mosaic's sublane-tile DMA
+    alignment (a pad_w=4 "padw4" layout was built and rejected by the
+    compiler — see ``_kvar_pads``); the default 8 is the minimum that
+    covers the kernel's sublane reach."""
     ec = uniform_edge_consts(state)
     if ec is None:
         raise ValueError(
@@ -944,7 +1089,7 @@ def pack_lattice2(state, tile_w: int = 128):
     def pad(stack):
         return jnp.pad(
             jnp.stack([x.astype(jnp.float32) for x in stack]),
-            ((0, 0), (PAD_W, PAD_W + wr - w), (PAD_H, phr + hr - h)),
+            ((0, 0), (pad_w, pad_w + wr - w), (pad_hl, phr + hr - h)),
         )
 
     hot = [state.pos[..., 0], state.pos[..., 1],
@@ -959,12 +1104,13 @@ def pack_lattice2(state, tile_w: int = 128):
     return pad(hot), pad(obs), pad(imm), ec
 
 
-def unpack_lattice2(hot, obs, template):
+def unpack_lattice2(hot, obs, template, pad_hl: int = PAD_H,
+                    pad_w: int = PAD_W):
     import dataclasses
 
     w, h = template.shape
-    core = hot[:, PAD_W : PAD_W + w, PAD_H : PAD_H + h]
-    ocore = obs[:, PAD_W : PAD_W + w, PAD_H : PAD_H + h]
+    core = hot[:, pad_w : pad_w + w, pad_hl : pad_hl + h]
+    ocore = obs[:, pad_w : pad_w + w, pad_hl : pad_hl + h]
     edges = []
     for c, e in enumerate(template.edges):
         mb = 6 + c * 3
@@ -985,7 +1131,8 @@ def unpack_lattice2(hot, obs, template):
     )
 
 
-def _zero_pads(stack, spec, tile_w: int):
+def _zero_pads(stack, spec, tile_w: int, pad_hl: int = PAD_H,
+               pad_w: int = PAD_W):
     """Zero every cell outside the real lattice interior.
 
     The kernel writes only interior slab windows; pad cells rely on the
@@ -1000,8 +1147,8 @@ def _zero_pads(stack, spec, tile_w: int):
     ix = jnp.arange(wp)[:, None]
     iy = jnp.arange(hp)[None, :]
     interior = (
-        (ix >= PAD_W) & (ix < PAD_W + spec.width)
-        & (iy >= PAD_H) & (iy < PAD_H + spec.height)
+        (ix >= pad_w) & (ix < pad_w + spec.width)
+        & (iy >= pad_hl) & (iy < pad_hl + spec.height)
     )
     return jnp.where(interior[None], stack, 0.0)
 
@@ -1011,8 +1158,20 @@ def fused_substep2_call(hot, immut, consts_vec, *, w: int, h: int,
                         interpret: bool = False, far=None, obs_in=None,
                         refs=None, detect: bool = False,
                         far_interior: bool = False,
+                        pad_hl: int = PAD_H,
+                        pad_w: int = PAD_W,
+                        emit_mirror: bool = False,
+                        far_records: bool = False,
                         kvar: Tuple[str, ...] = ()):
     """One v2/v3 substep.
+
+    ``emit_mirror``: additionally return the OUTPUT state's far-apply
+    mirror table ``[h/32, w/4, 640]`` (ops/farfield4.mirror_table
+    layout, built in-kernel — see the kvar "kmirror" block).
+
+    ``far_records``: ``far`` is the apply's delta record TABLE
+    ``[h/32, w/4, 640]`` instead of dense planes — consumed as a
+    Pallas-pipelined VMEM block per slab (see the kvar "krec" block).
 
     ``far_interior``: the ``far`` delta planes are the unpadded interior
     ``[5, w, h]`` (the v4 frame's shape — saves a 20 MB pad per substep)
@@ -1032,13 +1191,34 @@ def fused_substep2_call(hot, immut, consts_vec, *, w: int, h: int,
     gw = w // tile_w
     # right lane pad is whatever the packed stack carries (lane_pad_hr):
     # 128 (full halo tile) or 0 (rounding slack doubles as the halo)
-    pad_hr = hot.shape[-1] - h - PAD_H
+    pad_hr = hot.shape[-1] - h - pad_hl
     if pad_hr not in (0, PAD_H):
         raise ValueError(
             f"hot lane dim {hot.shape[-1]} inconsistent with interior "
-            f"h={h} (expected h + {PAD_H} + 0 or {PAD_H})"
+            f"h={h}, pad_hl={pad_hl} (expected h + pad_hl + 0 or "
+            f"{PAD_H})"
         )
-    bw, bh = tile_w + 2 * PAD_W, h + PAD_H + pad_hr
+    if hot.shape[1] != w + 2 * pad_w:
+        raise ValueError(
+            f"hot sublane dim {hot.shape[1]} inconsistent with interior "
+            f"w={w}, pad_w={pad_w}"
+        )
+    if pad_w < max(stencil, 2):
+        raise ValueError(f"pad_w={pad_w} < kernel sublane reach "
+                         f"max(stencil={stencil}, 2)")
+    if pad_w % 8:
+        # Mosaic HBM memref_slice offsets in the sublane dim must be
+        # divisible by the (8, 128) tile's 8; a non-multiple pad makes
+        # every slab window offset pad_w + tile_w·i misaligned (the
+        # measured "padw4" dead end — see _kvar_pads)
+        raise ValueError(f"pad_w={pad_w} must be a multiple of 8 "
+                         f"(Mosaic sublane-tile DMA alignment)")
+    if detect and pad_w < 2 * FF_CHUNK - 1:
+        raise ValueError(
+            f"detect mode needs pad_w ≥ {2 * FF_CHUNK - 1} (band reach); "
+            f"got {pad_w}"
+        )
+    bw, bh = tile_w + 2 * pad_w, h + pad_hl + pad_hr
     has_far = far is not None
     obs = obs_in is not None
     trig = refs is not None
@@ -1050,14 +1230,27 @@ def fused_substep2_call(hot, immut, consts_vec, *, w: int, h: int,
     # N_EXTRA scalars to the consts vector when detect is on.
     n_rot = len(_rotation_specs(stencil, detect))
 
+    if (emit_mirror or far_records) and (h % 32 or w % 4 or tile_w % 4):
+        raise ValueError(
+            f"emit_mirror/far_records need h % 32 == 0, w % 4 == 0, "
+            f"tile_w % 4 == 0; got ({w}, {h}), tile_w={tile_w}")
     kernel = functools.partial(
         _kernel2, tile_w=tile_w, world_h=h, stencil=stencil,
         quantized=quantized, has_far=has_far, obs=obs,
         trig=trig, detect=detect, far_interior=far_interior,
-        pad_hr=pad_hr, kvar=tuple(kvar),
+        pad_hr=pad_hr, pad_hl=pad_hl, pad_w=pad_w,
+        emit_mirror=emit_mirror, far_records=far_records,
+        kvar=tuple(kvar),
     )
     n_in = 2 + int(has_far) + int(obs) + int(trig)
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] * n_in
+    if has_far and far_records:
+        # the far record table's slab block is Pallas-pipelined (its
+        # sublane window offset (tile_w/4)·i is 8-aligned)
+        in_specs[2] = pl.BlockSpec(
+            (h // 32, tile_w // 4, 5 * 4 * 32), lambda i, _c: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        )
     out_shape = [jax.ShapeDtypeStruct(hot.shape, jnp.float32)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     if obs:
@@ -1082,19 +1275,33 @@ def fused_substep2_call(hot, immut, consts_vec, *, w: int, h: int,
             (N_SIDE, tile_w // 4, h), lambda i, _c: (0, i, 0),
             memory_space=pltpu.VMEM,
         ))
+    if emit_mirror:
+        # far-apply mirror records (farfield4.mirror_table layout seen
+        # as [nb, w/4, 640]): each slab owns the 8-aligned sublane
+        # window [:, (tile_w/4)·i : +tile_w/4, :]
+        out_shape.append(jax.ShapeDtypeStruct(
+            (h // 32, w // 4, 5 * 4 * 32), jnp.float32
+        ))
+        out_specs.append(pl.BlockSpec(
+            (h // 32, tile_w // 4, 5 * 4 * 32), lambda i, _c: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        ))
+    depth = 3 if "inbuf3" in kvar else 2
     scratch = [
-        pltpu.VMEM((2, N_HOT, bw, bh), jnp.float32),
-        pltpu.VMEM((2, N_IMM, bw, bh), jnp.float32),
+        pltpu.VMEM((depth, N_HOT, bw, bh), jnp.float32),
+        pltpu.VMEM((depth, N_IMM, bw, bh), jnp.float32),
     ]
-    if has_far:
-        scratch.append(pltpu.VMEM((2, 5, tile_w, h), jnp.float32))
+    if has_far and not far_records:
+        scratch.append(pltpu.VMEM((depth, 5, tile_w, h), jnp.float32))
     if trig:
-        scratch.append(pltpu.VMEM((2, 4, tile_w, h), jnp.float32))
-    scratch.append(pltpu.VMEM((2, N_HOT, tile_w, h), jnp.float32))
+        scratch.append(pltpu.VMEM((depth, 4, tile_w, h), jnp.float32))
+    scratch.append(pltpu.VMEM(
+        (2, N_HOT, tile_w, bh if "outfull" in kvar else h), jnp.float32
+    ))
     if obs:
         scratch.append(pltpu.VMEM((N_OBS, tile_w, h), jnp.float32))
     scratch.append(pltpu.VMEM((n_rot, bw, bh), jnp.float32))
-    scratch.append(pltpu.SemaphoreType.DMA((12,)))
+    scratch.append(pltpu.SemaphoreType.DMA((3 * depth + 4 + depth,)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(gw,),
@@ -1128,6 +1335,24 @@ def fused_substep2_call(hot, immut, consts_vec, *, w: int, h: int,
     return tuple(outs)
 
 
+def _kvar_pads(kvar: Tuple[str, ...]) -> dict:
+    """Layout pads implied by the layout-level kvar flags: "lanecut"
+    (no bottom lane pad).
+
+    A thinner SUBLANE halo ("padw4", pad_w=4) was built and measured
+    — Mosaic rejects it: HBM ``memref_slice`` offsets in the sublane
+    dim must be provably divisible by the (8, 128) tile's 8, and every
+    slab window offset becomes ``4 + 64·i ≡ 4 (mod 8)`` ("Failed to
+    prove that a tile index in dimension 1 is divisible by the tiling
+    (8)", bench_sweep r4 ``nf_pw``/``pw``/``nf_pipe_pw``).  Re-aligning
+    the input window (offset ``64·i``, width 72, interior at window
+    col 4) works for reads but the interior OUTPUT write at offset
+    ``4 + 64·i`` stays misaligned — sublane pads are pinned to
+    multiples of 8.  The remaining route to the same bytes is a wider
+    tile (halo fraction ∝ 1/tile_w), re-measured under lanecut."""
+    return dict(pad_hl=(0 if "lanecut" in kvar else PAD_H))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "cfg", "tile_w", "interpret", "n_sub",
@@ -1151,7 +1376,8 @@ def fused_frame2(hot, obs, immut, edge_consts, consts: PhysicsConstants,
     quantized = cfg.force_mode == "quantized"
     stencil = 0 if cfg.collision_mode == "none" else spec.collision_stencil
     kw = dict(w=w, h=h, stencil=stencil, quantized=quantized,
-              tile_w=tile_w, interpret=interpret, kvar=kvar)
+              tile_w=tile_w, interpret=interpret, kvar=kvar,
+              **_kvar_pads(kvar))
     n = cfg.subticks if n_sub is None else n_sub
 
     def body(m, _):
@@ -1167,14 +1393,14 @@ def fused_frame2(hot, obs, immut, edge_consts, consts: PhysicsConstants,
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "cfg", "ffspec", "tile_w", "interpret",
-                     "n_sub", "observe"),
+                     "n_sub", "observe", "kvar"),
     donate_argnames=("hot", "obs"),
 )
 def fused_frame2_far(hot, obs, immut, edge_consts, fl,
                      consts: PhysicsConstants, uin: UserInput, spec,
                      cfg: StaticConfig, ffspec, tile_w: int = 128,
                      interpret: bool = False, n_sub: Optional[int] = None,
-                     observe: bool = True):
+                     observe: bool = True, kvar: Tuple[str, ...] = ()):
     """fused_frame2 with far-field contacts: each substep computes the
     far delta planes in XLA from the carry (ops/farfield.py) and the
     kernel consumes them (same contract as v1's fused_frame_far).
@@ -1182,7 +1408,7 @@ def fused_frame2_far(hot, obs, immut, edge_consts, fl,
     from ..farfield import far_collision_terms
 
     w, h = padded_dims(spec.width, spec.height, tile_w)
-    ht = hot.shape[-1]   # PAD_H + hr + lane_pad_hr
+    ht = hot.shape[-1]   # pad_hl + hr + lane_pad_hr
     cvec = jnp.concatenate(
         [_consts_vector(consts, uin, cfg, spec.height), edge_consts]
     )
@@ -1190,7 +1416,8 @@ def fused_frame2_far(hot, obs, immut, edge_consts, fl,
     stencil = 0 if cfg.collision_mode == "none" else spec.collision_stencil
     alive_plane = immut[ALIVE] > 0.0
     kw = dict(w=w, h=h, stencil=stencil, quantized=quantized,
-              tile_w=tile_w, interpret=interpret)
+              tile_w=tile_w, interpret=interpret, kvar=kvar,
+              **_kvar_pads(kvar))
     n = cfg.subticks if n_sub is None else n_sub
 
     def far_of(m):
@@ -1664,14 +1891,17 @@ def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
     # all far machinery runs on the UNPADDED interior [w, h] (the hot
     # stack's pad rings are alive=0 everywhere — slicing them off cuts
     # the mirror/pool/band work ~25% at 1M)
+    pad_hl, pad_w = _kvar_pads(kvar)["pad_hl"], PAD_W
+
     def interior(plane):
-        return jax.lax.slice(plane, (PAD_W, PAD_H),
-                             (PAD_W + w, PAD_H + h))
+        return jax.lax.slice(plane, (pad_w, pad_hl),
+                             (pad_w + w, pad_hl + h))
 
     alive_int = interior(alive_plane)
     alive_int_f = alive_int.astype(jnp.float32)
     kw = dict(w=w, h=h, stencil=stencil, quantized=quantized,
-              tile_w=tile_w, interpret=interpret, kvar=kvar)
+              tile_w=tile_w, interpret=interpret, kvar=kvar,
+              pad_hl=pad_hl, pad_w=pad_w)
     n = cfg.subticks if n_sub is None else n_sub
     # cadence: full blocks of R substeps + one remainder block (so any
     # horizon works with any substep count; the remainder block still
@@ -1696,8 +1926,39 @@ def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
         )
         return fl, None
 
-    def substep(m, fl, n_act_s=None, obs_in=None, cvec_=None,
+    # kvar "kmirror": the kernel emits each substep's far-apply mirror
+    # records as a side output (see _kernel2's emit_mirror block), and
+    # the mirror rides the scan carry — the apply's granularity-bound
+    # [5,w,h]→records relayout (~0.185 ms/substep at 1M) then runs only
+    # ONCE per frame (the XLA producer below seeds the carry).
+    # kvar "krec" (implies the kmirror carry): the apply also RETURNS
+    # delta records and the kernel consumes them directly (see
+    # _kernel2's far_records block) — the unmirror (~0.28 ms/substep)
+    # disappears too, and with both relayouts free every bucket uses
+    # the mirror path (the narrow small-bucket variant is skipped).
+    krec = "krec" in kvar
+    kmir = "kmirror" in kvar or krec
+    if kmir:
+        if detect_mode == "kernel":
+            raise ValueError(
+                "kvar 'kmirror'/'krec' is incompatible with "
+                "detect_mode='kernel' (the mirror carry is threaded "
+                "through the xla-detect frame only)")
+        if far_mb != 32:
+            raise ValueError("kvar 'kmirror'/'krec' uses mb=32 "
+                             f"records; far_mb={far_mb} unsupported")
+        from ..farfield4 import mirror_table
+
+        def mir_of(m):
+            p5 = jnp.stack([
+                interior(m[PX]), interior(m[PY]),
+                interior(m[VX]), interior(m[VY]), alive_int_f,
+            ])
+            return mirror_table(p5).reshape(h // 32, w // 4, 640)
+
+    def substep(mst, fl, n_act_s=None, obs_in=None, cvec_=None,
                 detect=False):
+        m, mir = mst if kmir else (mst, None)
         if n_act_s is not None:
             # active-prefix crop for this substep: the list is sorted by
             # activation substep, so the first n_act_s entries are
@@ -1713,26 +1974,39 @@ def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
             radius=cfg.particle_radius, dt=cfg.dt,
             ecoeff=(consts.elasticity + 1.0) * 0.5,
             friction=consts.friction, w=w, h=h,
-            plane_idx=(PX, PY, VX, VY), pad=(PAD_W, PAD_H),
+            plane_idx=(PX, PY, VX, VY), pad=(pad_w, pad_hl),
             buckets=buckets, mb=far_mb, mb_out=far_mb_out,
+            table=None if mir is None else mir.reshape(-1, 5 * 4 * 32),
+            as_table=krec,
         )
-        return fused_substep2_call(m, immut,
+        if krec:
+            far_int = far_int.reshape(h // 32, w // 4, 5 * 4 * 32)
+        outs = fused_substep2_call(m, immut,
                                    cvec if cvec_ is None else cvec_,
                                    far=far_int, far_interior=True,
-                                   obs_in=obs_in, detect=detect, **kw)
+                                   obs_in=obs_in, detect=detect,
+                                   emit_mirror=kmir, far_records=krec,
+                                   **kw)
+        if not kmir:
+            return outs
+        if obs_in is not None:
+            hot_, obs_, mir_ = outs
+            return (hot_, mir_), obs_
+        hot_, mir_ = outs
+        return (hot_, mir_)
 
-    def block(m, n_inner):
-        fl, n_act = rebuild(m)
+    def block(mst, n_inner):
+        fl, n_act = rebuild(mst[0] if kmir else mst)
 
         def inner(mm, s_idx):
             return substep(mm, fl,
                            None if n_act is None else n_act[s_idx]), None
 
-        m, _ = jax.lax.scan(inner, m,
-                            jnp.arange(n_inner, dtype=jnp.int32))
+        mst, _ = jax.lax.scan(inner, mst,
+                              jnp.arange(n_inner, dtype=jnp.int32))
         # max active pairs in the block (counts are monotone in s)
         na = fl.n_pairs if n_act is None else n_act[n_inner - 1]
-        return m, fl, na
+        return mst, fl, na
 
     # stats int32[4]: rebuilds, max n_pairs, max overflow, max active
     st = jnp.zeros((4,), jnp.int32)
@@ -1846,42 +2120,47 @@ def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
         else:
             hot = substep(hot, fl)
         st = merge_st(st, fl, fl.n_pairs)
-        return (_zero_pads(hot, spec, tile_w),
-                _zero_pads(obs, spec, tile_w) if observe else obs, st)
+        return (_zero_pads(hot, spec, tile_w, pad_hl, pad_w),
+                _zero_pads(obs, spec, tile_w, pad_hl, pad_w) if observe else obs,
+                st)
 
     def outer(carry, _):
         m, st_ = carry
         m, fl, na = block(m, R)
         return (m, merge_st(st_, fl, na)), None
 
+    mst = (hot, mir_of(hot)) if kmir else hot
+
     if not observe:
-        (hot, st), _ = jax.lax.scan(outer, (hot, st), None,
+        (mst, st), _ = jax.lax.scan(outer, (mst, st), None,
                                     length=n_outer)
         if rem:
-            hot, fl, na = block(hot, rem)
+            mst, fl, na = block(mst, rem)
             st = merge_st(st, fl, na)
-        return _zero_pads(hot, spec, tile_w), obs, st
+        hot = mst[0] if kmir else mst
+        return _zero_pads(hot, spec, tile_w, pad_hl, pad_w), obs, st
 
     # last block (remainder size, or a full R) ends with the observing
     # substep; everything before it runs through the outer scan
     last = rem if rem else R
     n_full_before = n_outer if rem else n_outer - 1
     if n_full_before > 0:
-        (hot, st), _ = jax.lax.scan(outer, (hot, st), None,
+        (mst, st), _ = jax.lax.scan(outer, (mst, st), None,
                                     length=n_full_before)
-    fl, n_act = rebuild(hot)
+    fl, n_act = rebuild(mst[0] if kmir else mst)
 
     def inner(mm, s_idx):
         return substep(mm, fl,
                        None if n_act is None else n_act[s_idx]), None
 
     if last > 1:
-        hot, _ = jax.lax.scan(inner, hot,
+        mst, _ = jax.lax.scan(inner, mst,
                               jnp.arange(last - 1, dtype=jnp.int32))
-    hot, obs = substep(hot, fl,
+    mst, obs = substep(mst, fl,
                        None if n_act is None else n_act[last - 1],
                        obs_in=obs)
+    hot = mst[0] if kmir else mst
     st = merge_st(st, fl,
                   fl.n_pairs if n_act is None else n_act[last - 1])
-    return (_zero_pads(hot, spec, tile_w), _zero_pads(obs, spec, tile_w),
-            st)
+    return (_zero_pads(hot, spec, tile_w, pad_hl, pad_w),
+            _zero_pads(obs, spec, tile_w, pad_hl, pad_w), st)

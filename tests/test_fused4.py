@@ -413,3 +413,60 @@ def test_frame4_kernel_detect_matches_xla_detect():
     assert stats[1]["far_rebuilds"] == stats[0]["far_rebuilds"]
     assert stats[1]["far_overflow"] == 0
     np.testing.assert_allclose(outs[0], outs[1], rtol=0, atol=1e-4)
+
+
+@pytest.mark.parametrize("extra", [("lanecut",), ("inbuf3",),
+                                   ("outfull",), ("lanecut", "inbuf3"),
+                                   ("kmirror",), ("lanecut", "kmirror"),
+                                   ("krec",), ("lanecut", "krec")])
+def test_pipeline_layout_kvars_bit_exact(extra):
+    """Layout/pipeline kernel variants must be BIT-exact vs the default
+    path: "lanecut" (no bottom lane pad; −dy halos via zero-filled
+    rotations), "inbuf3" (3-deep input buffering), "outfull"
+    (full-lane-row output DMA), "kmirror" (kernel-produced far-apply
+    mirror records — a pure relayout of the same state, gathered by the
+    same apply) change only where bytes live / when DMAs issue, never a
+    computed value.  Far-armed v4 frame on a folding scene."""
+    from softbody_tpu.models import tearing_cloth_lattice
+    from softbody_tpu.engine.backends import FusedLatticeBackend
+
+    lstate, spec, cfg, consts = tearing_cloth_lattice(
+        n_particles=32 * 32, spring=2.0, damp=0.2, fall_speed=10.0,
+        slits=2, strain_limit=0.22, yield_strain=0.18)
+    w, _h = lstate.shape
+    spacing = 980.0 / (w - 1)
+    ff = FarFieldSpec(max_pairs=512, max_tile_pairs=128,
+                      skin=0.75 * spacing, horizon=8)
+    uin = UserInput.none()
+    base = ("rollgroup", "rsqrt", "dexp2")
+    outs = []
+    for kv in (base, base + extra):
+        backend = FusedLatticeBackend(spec, cfg, farfield=ff, tile_w=8,
+                                      kernel_variants=kv)
+        state = backend.pack_state(lstate)
+        for _ in range(3):
+            state = backend.step(state, consts, uin)
+        out = backend.unpack_state(state)
+        outs.append(out)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0]),
+                    jax.tree_util.tree_leaves(outs[1])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_thin_sublane_halo_rejected():
+    """Mosaic pins HBM sublane DMA offsets to multiples of 8, so a
+    thin sublane halo (the measured "padw4" dead end — bench_sweep r4)
+    must be rejected up front with a clear error, not die in the
+    remote compiler."""
+    from softbody_tpu.ops.pallas.fused_substep2 import (
+        fused_substep2_call, pack_lattice2)
+    from softbody_tpu.models import tearing_cloth_lattice
+
+    lstate, _spec, _cfg, _consts = tearing_cloth_lattice(
+        n_particles=16 * 16)
+    hot, _obs, immut, _ec = pack_lattice2(lstate, tile_w=8, pad_w=4)
+    cvec = jnp.zeros(40, jnp.float32)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        fused_substep2_call(hot, immut, cvec, w=16, h=128, stencil=2,
+                            quantized=True, tile_w=8, interpret=True,
+                            pad_w=4)
