@@ -421,9 +421,11 @@ class FusedLatticeBackend(LatticeBackend):
         self._pad_hl = 0 if "lanecut" in self.kvar else None
         # "kmirror"/"krec" (kernel-produced far-apply mirror records /
         # kernel-consumed delta records riding the scan carry) are v4
-        # xla-detect features; v3 frames and kernel-side detection
-        # silently drop them, like lanecut
-        if far_mode == "v3" or far_detect == "kernel":
+        # xla-detect features on the default mb=32 record layout; v3
+        # frames, kernel-side detection, and the far_mb/far_mb_out
+        # measurement knobs silently drop them, like lanecut
+        if (far_mode == "v3" or far_detect == "kernel"
+                or far_mb != 32 or far_mb_out is not None):
             self.kvar = tuple(v for v in self.kvar
                               if v not in ("kmirror", "krec"))
         # "v4": fixed-cadence rebuilds + mirror-table apply (the round-3
