@@ -423,9 +423,26 @@ class FusedLatticeBackend(LatticeBackend):
         # kernel-consumed delta records riding the scan carry) are v4
         # xla-detect features on the default mb=32 record layout; v3
         # frames, kernel-side detection, and the far_mb/far_mb_out
-        # measurement knobs silently drop them, like lanecut
+        # measurement knobs silently drop them, like lanecut.  A custom
+        # bucket ladder with a bucket ≤ 256 also drops krec: krec skips
+        # the narrow small-bucket apply variant, which would change the
+        # f32 collision scatter-add ORDER vs the non-krec path (same
+        # contribution set) — dropping keeps the backend's default
+        # bit-exactness contract for every ladder, not just the
+        # (no-bucket-≤256) default one
         if (far_mode == "v3" or far_detect == "kernel"
                 or far_mb != 32 or far_mb_out is not None):
+            self.kvar = tuple(v for v in self.kvar
+                              if v not in ("kmirror", "krec"))
+        if far_buckets is not None and any(b <= 256 for b in far_buckets):
+            self.kvar = tuple(v for v in self.kvar if v != "krec")
+        # kmirror's side-output slab window offset is (tile_w/4)·i and
+        # krec's record input block is (tile_w/4) sublanes — real-TPU
+        # Mosaic lowering requires both to be 8-aligned, so small-tile
+        # worlds (the 1M bench runs tile_w=64) silently keep the XLA
+        # relayout path there.  Interpret mode (CPU tests) has no such
+        # constraint and keeps small-tile kmirror/krec coverage.
+        if tile_w % 32 != 0 and jax.default_backend() == "tpu":
             self.kvar = tuple(v for v in self.kvar
                               if v not in ("kmirror", "krec"))
         # "v4": fixed-cadence rebuilds + mirror-table apply (the round-3

@@ -248,17 +248,24 @@ def bucketed_far_delta_from_fn(
     ∝ gathered rows), so the narrow small-bucket variant is skipped;
     when a custom ladder has buckets ≤ 256 this changes the f32
     scatter-add order vs the planes mode (same set of contributions)."""
-    if table is not None:
-        assert mb == MB, "pre-built mirror tables are mb=32 layout"
+    # explicit raises (not asserts): these contract checks must survive
+    # ``python -O`` — a caller passing mb!=32 with a pre-built table
+    # would otherwise silently gather from a mislaid table
+    if table is not None and mb != MB:
+        raise ValueError("pre-built mirror tables are mb=32 layout")
     if as_table:
-        assert table is not None, "as_table needs a pre-built mirror"
-        assert mb_out in (None, MB), "as_table emits mb=32 delta records"
+        if table is None:
+            raise ValueError("as_table needs a pre-built mirror")
+        if mb_out not in (None, MB):
+            raise ValueError("as_table emits mb=32 delta records")
     # chunk-id decode (cx = id // (h // chunk)) matches the rebuild's
     # TILE-PADDED chunk-grid encoding only under these alignments
-    assert h % (ff.chunk * ff.tile_chunks) == 0, (
-        f"far apply needs h ({h}) % chunk*tile_chunks "
-        f"({ff.chunk * ff.tile_chunks}) == 0 (chunk-id encode/decode)")
-    assert w % ff.chunk == 0, f"far apply needs w ({w}) % chunk == 0"
+    if h % (ff.chunk * ff.tile_chunks) != 0:
+        raise ValueError(
+            f"far apply needs h ({h}) % chunk*tile_chunks "
+            f"({ff.chunk * ff.tile_chunks}) == 0 (chunk-id encode/decode)")
+    if w % ff.chunk != 0:
+        raise ValueError(f"far apply needs w ({w}) % chunk == 0")
     all_buckets = tuple(b for b in buckets if b < ff.max_pairs) + (
         ff.max_pairs,
     )

@@ -1234,6 +1234,17 @@ def fused_substep2_call(hot, immut, consts_vec, *, w: int, h: int,
         raise ValueError(
             f"emit_mirror/far_records need h % 32 == 0, w % 4 == 0, "
             f"tile_w % 4 == 0; got ({w}, {h}), tile_w={tile_w}")
+    if (emit_mirror or far_records) and tile_w % 32 and not interpret:
+        # the mirror/record table's slab window is (tile_w/4) sublanes
+        # at offset (tile_w/4)·i — real-TPU Mosaic block mappings
+        # require the sublane dim divisible by 8, so tile_w must be a
+        # multiple of 32 there (interpret mode has no such constraint
+        # and keeps small-tile kmirror/krec test coverage).
+        # FusedLatticeBackend auto-drops kmirror/krec for small tiles
+        # on the TPU backend.
+        raise ValueError(
+            f"emit_mirror/far_records need tile_w % 32 == 0 (8-aligned "
+            f"record-table sublane blocks); got tile_w={tile_w}")
     kernel = functools.partial(
         _kernel2, tile_w=tile_w, world_h=h, stencil=stencil,
         quantized=quantized, has_far=has_far, obs=obs,

@@ -453,6 +453,28 @@ def test_pipeline_layout_kvars_bit_exact(extra):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_krec_dropped_for_small_bucket_ladders():
+    """krec skips the narrow small-bucket apply variant, which would
+    change the f32 collision scatter-add ORDER for ladders containing a
+    bucket ≤ 256 — the backend drops krec (keeping kmirror) there so
+    its bit-exactness contract holds for every ladder (ADVICE r4)."""
+    from softbody_tpu.models import tearing_cloth_lattice
+    from softbody_tpu.engine.backends import FusedLatticeBackend
+
+    _lstate, spec, cfg, _consts = tearing_cloth_lattice(
+        n_particles=16 * 16)
+    ff = FarFieldSpec(max_pairs=512, max_tile_pairs=128, skin=4.0,
+                      horizon=8)
+    kv = ("rollgroup", "lanecut", "kmirror", "krec")
+    small = FusedLatticeBackend(spec, cfg, farfield=ff, tile_w=8,
+                                kernel_variants=kv,
+                                far_buckets=(256, 512))
+    assert "krec" not in small.kvar and "kmirror" in small.kvar
+    ok = FusedLatticeBackend(spec, cfg, farfield=ff, tile_w=8,
+                             kernel_variants=kv, far_buckets=(512,))
+    assert "krec" in ok.kvar
+
+
 def test_thin_sublane_halo_rejected():
     """Mosaic pins HBM sublane DMA offsets to multiples of 8, so a
     thin sublane halo (the measured "padw4" dead end — bench_sweep r4)
