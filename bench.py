@@ -126,6 +126,10 @@ def main() -> int:
         far_act = os.environ.get("BENCH_FAR_ACTIVATION", "0") != "0"
         far_mb = int(os.environ.get("BENCH_FAR_MB", 32))
         far_detect = os.environ.get("BENCH_FAR_DETECT", "xla")
+        # band-pass impl in the rebuild: "kernel" (default, Pallas —
+        # bit-identical flags, ~0.08 ms/substep cheaper at the 1M tear)
+        # or "xla" (the shifted-compare loop)
+        far_band = os.environ.get("BENCH_FAR_BAND", "kernel")
         # kernel-variant flags (fused_substep2 kvar), e.g.
         # BENCH_KVAR=rollgroup,dexp2 ("rollgroup" = batched
         # partner-shift lane rolls; "rsqrt" = sqrt+div → rsqrt+mul;
@@ -134,7 +138,7 @@ def main() -> int:
         # default (measured-best set); BENCH_KVAR=none for the strict
         # oracle-exact kernel.
         kv_env = os.environ.get("BENCH_KVAR",
-                                "rollgroup,rsqrt,dexp2,lanecut,krec")
+                                "rollgroup,rsqrt,dexp2,lanecut,krec,ealpack")
         kvar = tuple(x for x in kv_env.split(",") if x and x != "none")
         backend = FusedLatticeBackend(spec, cfg, farfield=ff,
                                       tile_w=tile_w, far_mode=far_mode,
@@ -142,6 +146,7 @@ def main() -> int:
                                       far_activation=far_act,
                                       far_mb=far_mb,
                                       far_detect=far_detect,
+                                      far_band=far_band,
                                       kernel_variants=kvar)
         packed = backend.pack_state(lstate)
 

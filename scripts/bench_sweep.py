@@ -154,6 +154,24 @@ CONFIGS = [
     ("lckr_c16", {"cadence": 16,
                   "kvar": ("rollgroup", "rsqrt", "dexp2",
                            "lanecut", "krec")}),
+    # "ealpack": the four edge-alive planes ride as bits of ONE packed
+    # plane — hot stack 18 → 15 planes (−1/6 of the pipeline-bound slab
+    # DMA), bit-exact (alive is boolean)
+    ("lckrep", {"kvar": ("rollgroup", "rsqrt", "dexp2",
+                         "lanecut", "krec", "ealpack")}),
+    ("nf_ep", {"far": False,
+               "kvar": ("rollgroup", "rsqrt", "dexp2",
+                        "lanecut", "ealpack")}),
+    ("nf_pipe_ep", {"far": False, "stencil": 0,
+                    "kvar": ("nospring", "noint", "lanecut",
+                             "ealpack")}),
+    # Pallas band-detection kernel inside the rebuild (far_band):
+    # bit-identical flags, reads the planes once per slab instead of
+    # once per ~100 offsets (probe_r7: the band is ~1.45 of the 3.18 ms
+    # rebuild)
+    ("lckrep_bk", {"far_band": "kernel",
+                   "kvar": ("rollgroup", "rsqrt", "dexp2",
+                            "lanecut", "krec", "ealpack")}),
 ]
 
 
@@ -219,6 +237,7 @@ def main() -> int:
                 far_mb=ov.get("far_mb", 32),
                 far_mb_out=ov.get("far_mb_out"),
                 far_detect=ov.get("far_detect", "xla"),
+                far_band=ov.get("far_band", "xla"),
                 kernel_variants=ov.get("kvar", ()))
             state = backend.pack_state(lstate)
 

@@ -368,9 +368,10 @@ class FusedLatticeBackend(LatticeBackend):
                  far_mb: int = 32,
                  far_mb_out: Optional[int] = None,
                  far_detect: str = "xla",
+                 far_band: str = "kernel",
                  kernel_variants: Tuple[str, ...] = (
                      "rollgroup", "rsqrt", "dexp2", "lanecut",
-                     "krec")) -> None:
+                     "krec", "ealpack")) -> None:
         super().__init__(spec, cfg, farfield=farfield)
         self.tile_w = tile_w
         # Static kernel-variant flags threaded into the fused kernel
@@ -413,8 +414,11 @@ class FusedLatticeBackend(LatticeBackend):
         # the unmirror relayout disappears too.  Measured same-session
         # A/B: kmirror 629.4 → krec 657.8 substeps/s = 1.32×; bit-exact
         # (same test).
-        if far_mode == "v3" and "lanecut" in self.kvar:
-            self.kvar = tuple(v for v in self.kvar if v != "lanecut")
+        if far_mode == "v3":
+            # layout-level flags: the v3 far frames assume the classic
+            # PAD_H / 18-plane layout, so both drop (not error)
+            self.kvar = tuple(v for v in self.kvar
+                              if v not in ("lanecut", "ealpack"))
         # (a "padw4" thin-sublane-halo layout was built and measured
         # unloweable — Mosaic pins sublane DMA offsets to multiples of
         # 8; see fused_substep2._kvar_pads.)
@@ -469,6 +473,14 @@ class FusedLatticeBackend(LatticeBackend):
         # block's last substep emits detection side-outputs in-kernel
         # (fused_frame4 detect_mode — see its docstring)
         self.far_detect = far_detect
+        # band-pass implementation inside the (xla-detect) rebuild:
+        # "kernel" (default) = the dedicated Pallas band kernel
+        # (ops/pallas/band_detect.py) — bit-identical flags, reads the
+        # planes once per slab instead of once per ~100 offsets.
+        # Measured same-session A/B at the 1M tear (bench_sweep r5):
+        # 675.7 → 714.8 substeps/s (the XLA loop re-reads ~1.4 GB of
+        # padded planes per rebuild; probe_r7)
+        self.far_band = far_band
         self._immut = None
         self._edge_consts = None
         self._template = None
@@ -496,11 +508,13 @@ class FusedLatticeBackend(LatticeBackend):
 
     def _pad_kw(self):
         """Layout overrides implied by the kvar flags ({"pad_hl": 0}
-        under lanecut); {} keeps the classic-default signatures
-        untouched."""
+        under lanecut, {"ealpack": True} under ealpack); {} keeps the
+        classic-default signatures untouched."""
         kw = {}
         if self._pad_hl is not None:
             kw["pad_hl"] = self._pad_hl
+        if "ealpack" in self.kvar:
+            kw["ealpack"] = True
         return kw
 
     def unpack_state(self, state):
@@ -562,6 +576,7 @@ class FusedLatticeBackend(LatticeBackend):
                 interpret=interp, activation=self.far_activation,
                 far_mb=self.far_mb, far_mb_out=self.far_mb_out,
                 detect_mode=self.far_detect,
+                band_impl=self.far_band,
                 kvar=self._checked_kvar(consts), **bkw,
             )
             if self._stats_acc is None:

@@ -252,7 +252,8 @@ def unchunk_view(x: jax.Array, wp: int, hp: int, ff: FarFieldSpec) -> jax.Array:
 
 def _chunk_detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec,
                      radius: float, vxu=None, vyu=None, dt: float = 0.0,
-                     horizon_pad: int = 0, return_raw: bool = False):
+                     horizon_pad: int = 0, return_raw: bool = False,
+                     band_impl: str = "xla"):
     """Particle-plane detection front-end: reduce the ``[W, H]`` x/y
     position planes to chunk-level state (:class:`ChunkPlanes`).
 
@@ -282,7 +283,7 @@ def _chunk_detection(pxu, pyu, alive, *, s: int, ff: FarFieldSpec,
         T = 0.0
     raw, cany, com = raw_chunk_planes(
         pxu, pyu, alive, s=s, ff=ff, radius=radius,
-        vxu=vxu, vyu=vyu, T_band=T, vbar=vbar,
+        vxu=vxu, vyu=vyu, T_band=T, vbar=vbar, band_impl=band_impl,
     )
     iminx, imaxx, iminy, imaxy = extrude_chunk_planes(
         raw, cany, ff=ff, radius=radius, T=T,
@@ -314,14 +315,22 @@ class RawChunkPlanes(NamedTuple):
 
 def raw_chunk_planes(pxu, pyu, alive, *, s: int, ff: FarFieldSpec,
                      radius: float, vxu=None, vyu=None,
-                     T_band: float = 0.0, vbar=None):
+                     T_band: float = 0.0, vbar=None,
+                     band_impl: str = "xla"):
     """Particle planes → (RawChunkPlanes, cany, com).
 
     Band reach per pair is ``2r + skin + (dev_i + dev_j)`` with
     ``dev = |v − v̄|·T_band`` (a closing-speed bound via mean-relative
     deviation speeds: |v_i − v_j| ≤ dev_i + dev_j for any common v̄ —
     tight for uniform motion).  With ``vxu=None`` the reach is
-    position-only."""
+    position-only.
+
+    ``band_impl="kernel"`` runs the ~100-offset band pass as one Pallas
+    kernel (ops/pallas/band_detect.py) instead of the XLA shifted-
+    compare loop — bit-identical flags; the XLA loop re-reads the
+    padded planes per offset (~1.4 GB HBM per rebuild at 1M) while the
+    kernel reads them once per slab.  Velocity mode only (the
+    position-only branch has no measured workload)."""
     w, h = pxu.shape[0], pxu.shape[1]
     cwx, cwy, wp, hp = _chunk_dims(w, h, ff)
     c = ff.chunk
@@ -382,15 +391,24 @@ def raw_chunk_planes(pxu, pyu, alive, *, s: int, ff: FarFieldSpec,
         dev_b = jnp.pad(dev, ((0, br), (br, br)), constant_values=0.0)
     else:
         reach2 = base_reach * base_reach
-    flag = jnp.zeros((wp, hp), bool)
-    for dx, dy in ff.band_half_offsets(s):
-        d2 = (shifted(px_b, dx, dy) - px) ** 2 + (
-            shifted(py_b, dx, dy) - py
-        ) ** 2
-        if vxu is not None:
-            reach = base_reach + dev + shifted(dev_b, dx, dy)
-            reach2 = reach * reach
-        flag = flag | (alv & shifted(alv_b, dx, dy) & (d2 < reach2))
+    if band_impl == "kernel" and vxu is not None:
+        from .pallas.band_detect import band_flag_call
+
+        flag = band_flag_call(
+            px, py, dev, base_reach + dev, alv,
+            offsets=ff.band_half_offsets(s),
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        flag = jnp.zeros((wp, hp), bool)
+        for dx, dy in ff.band_half_offsets(s):
+            d2 = (shifted(px_b, dx, dy) - px) ** 2 + (
+                shifted(py_b, dx, dy) - py
+            ) ** 2
+            if vxu is not None:
+                reach = base_reach + dev + shifted(dev_b, dx, dy)
+                reach2 = reach * reach
+            flag = flag | (alv & shifted(alv_b, dx, dy) & (d2 < reach2))
     cflag = jnp.any(flag.reshape(cwx, c, cwy, c), axis=(1, 3))
 
     n_alive = jnp.maximum(jnp.sum(alive.astype(jnp.float32)), 1.0)
@@ -551,25 +569,44 @@ def _candidates_from_chunks(cp: ChunkPlanes, *, ff: FarFieldSpec):
     tile_valid = jnp.arange(k1) < taken
     tile_overflow = total_tiles - taken
 
-    # gather each far tile pair's chunk AABBs: [k1, tc*tc, ...]
-    def tile_chunks_of(tid):
-        # linear chunk ids of tile tid's chunks, [tc*tc]
-        bx = (tid // ty) * tc
-        by = (tid % ty) * tc
-        ox = jnp.arange(tc, dtype=jnp.int32)
-        return ((bx + ox)[:, None] * cwy + (by + jnp.arange(tc))[None, :]).reshape(-1)
+    # gather each far tile pair's chunk AABBs.  One TILE-MAJOR relayout
+    # of the five chunk planes + the linear-id plane (a [tn, 6·tc²]
+    # stack, ~2 MB at 1M — free) turns the former per-tile windowed
+    # element gathers (the slow class of the gather cost model:
+    # element/windowed ≫ row) into TWO row gathers of k1 rows.
+    # Values are identical — chunk ids < 2²⁴ are exact in f32.
+    lin_ids = (
+        jnp.arange(cwx, dtype=jnp.int32)[:, None] * cwy
+        + jnp.arange(cwy, dtype=jnp.int32)[None, :]
+    )
 
-    ca_ids = jax.vmap(tile_chunks_of)(ti_a)  # [k1, tc*tc]
-    cb_ids = jax.vmap(tile_chunks_of)(ti_b)
+    def tile_major(plane):
+        return (
+            plane.astype(jnp.float32)
+            .reshape(tx, tc, ty, tc)
+            .transpose(0, 2, 1, 3)
+            .reshape(tn, tc * tc)
+        )
 
-    def gat(plane):
-        return plane.reshape(-1)[ca_ids], plane.reshape(-1)[cb_ids]
+    tile_tab = jnp.concatenate(
+        [tile_major(p) for p in
+         (iminx, imaxx, iminy, imaxy, cany, lin_ids)], axis=1,
+    )  # [tn, 6·tc²]
+    rows_a = tile_tab[ti_a]  # [k1, 6·tc²]
+    rows_b = tile_tab[ti_b]
+    tcc_ = tc * tc
 
-    aminx, bminx = gat(iminx)
-    amaxx, bmaxx = gat(imaxx)
-    aminy, bminy = gat(iminy)
-    amaxy, bmaxy = gat(imaxy)
-    aany, bany = gat(cany)
+    def field(rows, j):
+        return rows[:, j * tcc_ : (j + 1) * tcc_]
+
+    aminx, bminx = field(rows_a, 0), field(rows_b, 0)
+    amaxx, bmaxx = field(rows_a, 1), field(rows_b, 1)
+    aminy, bminy = field(rows_a, 2), field(rows_b, 2)
+    amaxy, bmaxy = field(rows_a, 3), field(rows_b, 3)
+    aany = field(rows_a, 4) > 0.0
+    bany = field(rows_b, 4) > 0.0
+    ca_ids = field(rows_a, 5).astype(jnp.int32)  # [k1, tc*tc]
+    cb_ids = field(rows_b, 5).astype(jnp.int32)
     acx, bcx = ca_ids // cwy, cb_ids // cwy
     acy, bcy = ca_ids % cwy, cb_ids % cwy
 
@@ -716,6 +753,7 @@ def rebuild_far_list_planes(
     vx=None,
     vy=None,
     dt: float = 0.0,
+    band_impl: str = "xla",
 ) -> FarList:
     """Build the candidate chunk-pair list from current positions (plane
     inputs; traceable — used both standalone and inside the on-device
@@ -725,9 +763,11 @@ def rebuild_far_list_planes(
 
     All work is dense (reductions, shifted compares, one [T, T] tile
     test) plus three fixed-capacity sort-based compactions (``_nz``).
+    ``band_impl="kernel"`` runs the band pass as a Pallas kernel
+    (bit-identical flags; see :func:`raw_chunk_planes`).
     """
     cp = _chunk_detection(px, py, alive, s=s, ff=ff, radius=radius,
-                          vxu=vx, vyu=vy, dt=dt)
+                          vxu=vx, vyu=vy, dt=dt, band_impl=band_impl)
     return rebuild_far_list_from_chunks(
         cp, px, py,
         jnp.zeros_like(px) if vx is None else vx,
@@ -828,12 +868,14 @@ def rebuild_far_list_planes_active(
     vy: jax.Array,
     dt: float,
     R: int,
+    band_impl: str = "xla",
 ):
     """:func:`rebuild_far_list_planes` + :func:`pair_activation` in one
     pass (shares the chunk detection): returns ``(fl, n_active[R])``
     with the list sorted by activation substep."""
     cp, raw = _chunk_detection(px, py, alive, s=s, ff=ff, radius=radius,
-                               vxu=vx, vyu=vy, dt=dt, return_raw=True)
+                               vxu=vx, vyu=vy, dt=dt, return_raw=True,
+                               band_impl=band_impl)
     fl = rebuild_far_list_from_chunks(cp, px, py, vx, vy, ff=ff)
     return pair_activation(fl, raw, ff=ff, radius=radius, dt=dt, R=R)
 
@@ -899,12 +941,23 @@ def rebuild_far_list_from_chunks(
     h_nchunks = jnp.sum(hit_any.astype(jnp.int32))
     h_idx = _nz(hit_any, mc)
     h_ok = jnp.arange(mc) < jnp.minimum(h_nchunks, mc)
-    b_rows = jnp.stack(
-        [band_stack[i].reshape(-1)[h_idx] for i in range(band_stack.shape[0])],
-        axis=1,
-    )  # [mc, 5]
-    words = jnp.stack(
-        [ann_words[i].reshape(-1)[h_idx] for i in range(n_words)], axis=1
+    # ONE row gather for all band flags + annulus words: row gathers
+    # price by row count (~width-independent), so a [Cn, 5 + n_words]
+    # stacked table gathered once beats 5 + n_words separate plane
+    # gathers at the same mc rows.  uint32 words ride as exact f32
+    # halves (16-bit pieces < 2²⁴).
+    src_cols = [band_stack[i].reshape(-1).astype(jnp.float32)
+                for i in range(band_stack.shape[0])]
+    for i in range(n_words):
+        wi = ann_words[i].reshape(-1)
+        src_cols.append((wi & jnp.uint32(0xFFFF)).astype(jnp.float32))
+        src_cols.append((wi >> jnp.uint32(16)).astype(jnp.float32))
+    hit_tab = jnp.stack(src_cols, axis=1)  # [Cn, 5 + 2·n_words]
+    hit_rows = hit_tab[h_idx]              # one row gather
+    b_rows = hit_rows[:, :5] > 0.0         # [mc, 5]
+    words = (
+        hit_rows[:, 5::2].astype(jnp.uint32)
+        | (hit_rows[:, 6::2].astype(jnp.uint32) << jnp.uint32(16))
     )  # [mc, n_words]
     bits = (
         (words[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)[None, None, :])

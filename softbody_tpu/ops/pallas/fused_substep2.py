@@ -81,6 +81,16 @@ from .fused_substep import (
 PX, PY, VX, VY, AX, AY = range(6)
 TGT, LST, EAL = range(3)     # + 6 + c*3
 N_HOT = 18
+# kvar "ealpack" layout: per-class planes are (TGT, LST) at 6 + c*2 and
+# the four edge-alive flags live as BITS of one small-integer f32 plane
+# (values 0..15, exactly representable) — hot drops 18 → 15 planes,
+# −1/6 of the pipeline-bound slab DMA, losslessly (alive is boolean)
+EALP = 14
+N_HOT_EALPACK = 15
+
+
+def _n_hot(kvar) -> int:
+    return N_HOT_EALPACK if "ealpack" in kvar else N_HOT
 # obs plane indices
 STR, STS = 0, 1              # + c*2
 N_OBS = 8
@@ -532,6 +542,19 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
     # squared domain (exact for ==0/>0; the <two_r contact boundary can
     # flip at 1-ulp rounding edges — variant tolerance class).
     rsqrt_kv = "rsqrt" in kvar
+    # kvar "ealpack" (bit-exact layout variant): the four edge-alive
+    # planes are one packed small-integer plane (bit c = class c alive);
+    # per-class TGT/LST move to 6 + c*2.  Unpack once per region here —
+    # the bits are exact, so every downstream predicate sees the same
+    # booleans as the classic 4-plane layout
+    ealpack = "ealpack" in kvar
+
+    def mb_of(c):
+        return 6 + c * (2 if ealpack else 3)
+
+    if ealpack:
+        ealp_ext_i = rds("m", EALP, 0, 0).astype(jnp.int32)
+        ealp_c_i = ealp_ext_i[1 : 1 + tile_w]
     spring_parts: dict = {}
 
     al_e = rds("i", ALIVE, 0, 0) > 0.0
@@ -539,23 +562,25 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
         # attribution-only knob (bench_sweep): skip the spring pass and
         # pass edge state / obs planes through unchanged — NOT physics
         for c in range(4):
-            mb = 6 + c * 3
+            mb = mb_of(c)
             hot_updates.append((rd("m", mb + TGT, 0, 0),
                                 rd("m", mb + LST, 0, 0),
-                                rd("m", mb + EAL, 0, 0)))
+                                ((ealp_c_i >> c) & 1) if ealpack
+                                else rd("m", mb + EAL, 0, 0)))
             if obs:
                 obs_updates.append((obscr[c * 2 + STR],
                                     obscr[c * 2 + STS]))
     spring_classes = (tuple(enumerate(EDGE_OFFSETS))
                       if "nospring" not in kvar else ())
     for c, (dx, dy) in spring_classes:
-        mb = 6 + c * 3
+        mb = mb_of(c)
         e_len = _ec(consts, c, EC_LEN)
         e_yld = _ec(consts, c, EC_YLD)
         e_lim = _ec(consts, c, EC_LIM)
 
         # owner evaluation over extended bases [−1, tile_w)
-        ea = rds("m", mb + EAL, 0, 0) > 0.0
+        ea = (((ealp_ext_i >> c) & 1) > 0) if ealpack else (
+            rds("m", mb + EAL, 0, 0) > 0.0)
         active = ea & al_e & (rds("i", ALIVE, dx, dy) > 0.0)
         ddx = rds("m", PX, dx, dy) - rds("m", PX, 0, 0)
         ddy = rds("m", PY, dx, dy) - rds("m", PY, 0, 0)
@@ -598,7 +623,8 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
         hot_updates.append((
             jnp.where(a_c, new_tgt, tgt_c),
             jnp.where(a_c, ln_c, lst_c),
-            jnp.where(a_c & breaks, 0.0, rd("m", mb + EAL, 0, 0)),
+            (jnp.where(a_c & breaks, 0, (ealp_c_i >> c) & 1) if ealpack
+             else jnp.where(a_c & breaks, 0.0, rd("m", mb + EAL, 0, 0))),
         ))
         if obs:
             obs_updates.append((
@@ -907,11 +933,11 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
             # packed stacks' lane pads are zero by construction)
             if pad_hl:
                 zpad = jnp.zeros((tile_w, pad_hl), jnp.float32)
-                for p_ in range(N_HOT):
+                for p_ in range(_n_hot(kvar)):
                     oscr[p_, :, :pad_hl] = zpad
             if pad_hr:
                 ztail = jnp.zeros((tile_w, pad_hr), jnp.float32)
-                for p_ in range(N_HOT):
+                for p_ in range(_n_hot(kvar)):
                     oscr[p_, :, pad_hl + th:] = ztail
     if "noint" in kvar:
         # attribution-only knob (bench_sweep "nf_pipe"): pass the six
@@ -957,11 +983,20 @@ def _kernel2(consts, *refs, tile_w: int, world_h: int, stencil: int,
         for _j in range(4, N_STATS):
             stats_ref[i, _j] = jnp.float32(0.0)
     for c in range(4):
-        mb = 6 + c * 3
+        mb = mb_of(c)
         tgt, lst, eal = hot_updates[c]
         oscr[mb + TGT, :, ol : ol + th] = tgt
         oscr[mb + LST, :, ol : ol + th] = lst
-        oscr[mb + EAL, :, ol : ol + th] = eal
+        if not ealpack:
+            oscr[mb + EAL, :, ol : ol + th] = eal
+    if ealpack:
+        # recombine the four class bits into the packed plane (int adds
+        # of disjoint bits — exact; passthrough bits reproduce the input
+        # value bit-for-bit)
+        b0, b1, b2, b3 = (hot_updates[c][2] for c in range(4))
+        oscr[EALP, :, ol : ol + th] = (
+            b0 + 2 * b1 + 4 * b2 + 8 * b3
+        ).astype(jnp.float32)
 
     if emit_mirror:
         # ---------------- far-field mirror records (kvar "kmirror") ------
@@ -1062,9 +1097,14 @@ def uniform_edge_consts(state) -> Optional[jax.Array]:
 
 
 def pack_lattice2(state, tile_w: int = 128, pad_hl: int = PAD_H,
-                  pad_w: int = PAD_W):
+                  pad_w: int = PAD_W, ealpack: bool = False):
     """LatticeState → (hot [18,Wp,Hp], obs [8,Wp,Hp], immut [2,Wp,Hp],
     edge_consts [20]). Raises if edge parameters vary spatially.
+
+    ``ealpack=True`` (kvar "ealpack") packs the four edge-alive planes
+    into one bit-packed small-integer plane — hot becomes
+    ``[15, Wp, Hp]`` with per-class (TGT, LST) at ``6 + c*2`` and the
+    packed flags at plane ``EALP`` (lossless; alive is boolean).
 
     ``pad_hl=0`` (the "lanecut" layout) drops the bottom lane pad —
     −dy halo reads are served by the kernel's zero-filled rotations
@@ -1095,8 +1135,18 @@ def pack_lattice2(state, tile_w: int = 128, pad_hl: int = PAD_H,
     hot = [state.pos[..., 0], state.pos[..., 1],
            state.vel[..., 0], state.vel[..., 1],
            state.acc[..., 0], state.acc[..., 1]]
-    for e in state.edges:
-        hot += [e.target_length, e.last_length, e.alive.astype(jnp.float32)]
+    if ealpack:
+        for e in state.edges:
+            hot += [e.target_length, e.last_length]
+        packed = sum(
+            e.alive.astype(jnp.int32) << c
+            for c, e in enumerate(state.edges)
+        )
+        hot.append(packed.astype(jnp.float32))
+    else:
+        for e in state.edges:
+            hot += [e.target_length, e.last_length,
+                    e.alive.astype(jnp.float32)]
     obs = []
     for e in state.edges:
         obs += [e.strain, e.stress]
@@ -1105,20 +1155,23 @@ def pack_lattice2(state, tile_w: int = 128, pad_hl: int = PAD_H,
 
 
 def unpack_lattice2(hot, obs, template, pad_hl: int = PAD_H,
-                    pad_w: int = PAD_W):
+                    pad_w: int = PAD_W, ealpack: bool = False):
     import dataclasses
 
     w, h = template.shape
     core = hot[:, pad_w : pad_w + w, pad_hl : pad_hl + h]
     ocore = obs[:, pad_w : pad_w + w, pad_hl : pad_hl + h]
     edges = []
+    if ealpack:
+        ealp_i = core[EALP].astype(jnp.int32)
     for c, e in enumerate(template.edges):
-        mb = 6 + c * 3
+        mb = 6 + c * (2 if ealpack else 3)
         edges.append(dataclasses.replace(
             e,
             target_length=core[mb + TGT],
             last_length=core[mb + LST],
-            alive=core[mb + EAL] > 0.0,
+            alive=(((ealp_i >> c) & 1) > 0) if ealpack
+            else core[mb + EAL] > 0.0,
             strain=ocore[c * 2 + STR],
             stress=ocore[c * 2 + STS],
         ))
@@ -1298,8 +1351,13 @@ def fused_substep2_call(hot, immut, consts_vec, *, w: int, h: int,
             memory_space=pltpu.VMEM,
         ))
     depth = 3 if "inbuf3" in kvar else 2
+    n_hot = _n_hot(kvar)
+    if hot.shape[0] != n_hot:
+        raise ValueError(
+            f"hot stack has {hot.shape[0]} planes but kvar={kvar} "
+            f"expects {n_hot} (pack_lattice2 ealpack mismatch?)")
     scratch = [
-        pltpu.VMEM((depth, N_HOT, bw, bh), jnp.float32),
+        pltpu.VMEM((depth, n_hot, bw, bh), jnp.float32),
         pltpu.VMEM((depth, N_IMM, bw, bh), jnp.float32),
     ]
     if has_far and not far_records:
@@ -1307,7 +1365,7 @@ def fused_substep2_call(hot, immut, consts_vec, *, w: int, h: int,
     if trig:
         scratch.append(pltpu.VMEM((depth, 4, tile_w, h), jnp.float32))
     scratch.append(pltpu.VMEM(
-        (2, N_HOT, tile_w, bh if "outfull" in kvar else h), jnp.float32
+        (2, n_hot, tile_w, bh if "outfull" in kvar else h), jnp.float32
     ))
     if obs:
         scratch.append(pltpu.VMEM((N_OBS, tile_w, h), jnp.float32))
@@ -1833,7 +1891,8 @@ def packed_far_motion2(hot, immut, fl):
     jax.jit,
     static_argnames=("spec", "cfg", "ffspec", "tile_w", "interpret",
                      "n_sub", "observe", "buckets", "activation",
-                     "far_mb", "far_mb_out", "detect_mode", "kvar"),
+                     "far_mb", "far_mb_out", "detect_mode", "band_impl",
+                     "kvar"),
     donate_argnames=("hot", "obs"),
 )
 def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
@@ -1844,6 +1903,7 @@ def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
                  activation: bool = False, far_mb: int = 32,
                  far_mb_out: Optional[int] = None,
                  detect_mode: str = "xla",
+                 band_impl: str = "xla",
                  kvar: Tuple[str, ...] = ()):
     """v4 far-field frame: fixed-cadence unconditional rebuilds + the
     mirror-table pair apply (ops/farfield4.py — design and measured
@@ -1928,12 +1988,13 @@ def fused_frame4(hot, obs, immut, edge_consts, consts: PhysicsConstants,
                 s=spec.collision_stencil, ff=ff,
                 radius=cfg.particle_radius, vx=interior(m[VX]),
                 vy=interior(m[VY]), dt=cfg.dt, R=R,
+                band_impl=band_impl,
             )
         fl = rebuild_far_list_planes(
             interior(m[PX]), interior(m[PY]), alive_int,
             s=spec.collision_stencil, ff=ff,
             radius=cfg.particle_radius, vx=interior(m[VX]),
-            vy=interior(m[VY]), dt=cfg.dt,
+            vy=interior(m[VY]), dt=cfg.dt, band_impl=band_impl,
         )
         return fl, None
 

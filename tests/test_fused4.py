@@ -418,7 +418,9 @@ def test_frame4_kernel_detect_matches_xla_detect():
 @pytest.mark.parametrize("extra", [("lanecut",), ("inbuf3",),
                                    ("outfull",), ("lanecut", "inbuf3"),
                                    ("kmirror",), ("lanecut", "kmirror"),
-                                   ("krec",), ("lanecut", "krec")])
+                                   ("krec",), ("lanecut", "krec"),
+                                   ("ealpack",), ("lanecut", "ealpack"),
+                                   ("lanecut", "krec", "ealpack")])
 def test_pipeline_layout_kvars_bit_exact(extra):
     """Layout/pipeline kernel variants must be BIT-exact vs the default
     path: "lanecut" (no bottom lane pad; −dy halos via zero-filled
