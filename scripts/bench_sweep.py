@@ -172,6 +172,12 @@ CONFIGS = [
     ("lckrep_bk", {"far_band": "kernel",
                    "kvar": ("rollgroup", "rsqrt", "dexp2",
                             "lanecut", "krec", "ealpack")}),
+    # tighter apply crop: the benched tear runs 1165 pairs — a 1280
+    # bucket cuts the krec mirror gather ~37% vs cropping to 2048
+    ("bk1280", {"far_band": "kernel",
+                "buckets": (1280, 2048, 4096),
+                "kvar": ("rollgroup", "rsqrt", "dexp2",
+                         "lanecut", "krec", "ealpack")}),
 ]
 
 

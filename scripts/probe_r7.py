@@ -102,12 +102,15 @@ def main() -> int:
         print(f"[{label}] {ms:.3f} ms", flush=True)
         return ms
 
+    band = os.environ.get("PROBE_BAND", "xla")
+
     def rbody(c):
         fl_ = rebuild_far_list_planes(
-            c[0], c[1], c[4] > 0, vx=c[2], vy=c[3], dt=cfg.dt, **kw)
+            c[0], c[1], c[4] > 0, vx=c[2], vy=c[3], dt=cfg.dt,
+            band_impl=band, **kw)
         return c + eps * fl_.n_pairs.astype(jnp.float32)
 
-    scan_time("rebuild", rbody, planes5)
+    scan_time(f"rebuild[{band}]", rbody, planes5)
 
     def dbody(c):
         cp = _chunk_detection(c[0], c[1], c[4] > 0, vxu=c[2], vyu=c[3],

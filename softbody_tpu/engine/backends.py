@@ -368,7 +368,7 @@ class FusedLatticeBackend(LatticeBackend):
                  far_mb: int = 32,
                  far_mb_out: Optional[int] = None,
                  far_detect: str = "xla",
-                 far_band: str = "kernel",
+                 far_band: Optional[str] = None,
                  kernel_variants: Tuple[str, ...] = (
                      "rollgroup", "rsqrt", "dexp2", "lanecut",
                      "krec", "ealpack")) -> None:
@@ -474,12 +474,19 @@ class FusedLatticeBackend(LatticeBackend):
         # (fused_frame4 detect_mode — see its docstring)
         self.far_detect = far_detect
         # band-pass implementation inside the (xla-detect) rebuild:
-        # "kernel" (default) = the dedicated Pallas band kernel
+        # "kernel" = the dedicated Pallas band kernel
         # (ops/pallas/band_detect.py) — bit-identical flags, reads the
         # planes once per slab instead of once per ~100 offsets.
         # Measured same-session A/B at the 1M tear (bench_sweep r5):
         # 675.7 → 714.8 substeps/s (the XLA loop re-reads ~1.4 GB of
-        # padded planes per rebuild; probe_r7)
+        # padded planes per rebuild; probe_r7).  Default: kernel on
+        # real TPU, xla elsewhere — in interpret mode the kernel is
+        # pure overhead (its expansion also bloats every far-armed
+        # CPU test graph, which pushed the long-lived suite process
+        # into an XLA CPU compiler segfault regime)
+        if far_band is None:
+            far_band = ("kernel" if jax.default_backend() == "tpu"
+                        else "xla")
         self.far_band = far_band
         self._immut = None
         self._edge_consts = None

@@ -384,35 +384,64 @@ def test_frame4_kernel_detect_matches_xla_detect():
     differently (f32 scatter order at shared chunks), so trajectories
     compare with allclose; the side-vs-XLA detection itself is
     parity-exact (raw_planes_from_side ∘ kernel_side_from_planes ==
-    raw_chunk_planes, tested in test_fused3)."""
-    from softbody_tpu.models import tearing_cloth_lattice
-    from softbody_tpu.engine.backends import FusedLatticeBackend
-    from softbody_tpu import UserInput
+    raw_chunk_planes, tested in test_fused3).
 
-    lstate, spec, cfg, consts = tearing_cloth_lattice(
-        n_particles=32 * 32, spring=2.0, damp=0.2, fall_speed=10.0,
-        slits=2, strain_limit=0.22, yield_strain=0.18)
-    w, _h = lstate.shape
-    spacing = 980.0 / (w - 1)
-    ff = FarFieldSpec(max_pairs=512, max_tile_pairs=128,
-                      skin=0.75 * spacing, horizon=8)
-    uin = UserInput.none()
-    outs, stats = [], []
-    for mode in ("xla", "kernel"):
-        backend = FusedLatticeBackend(spec, cfg, farfield=ff, tile_w=8,
-                                      far_detect=mode)
-        state = backend.pack_state(lstate)
-        for _ in range(3):
-            state = backend.step(state, consts, uin)
-        stats.append(backend.far_stats())
-        ext = backend.extract(state)
-        outs.append(np.asarray(ext[0]))
-    # same rebuild cadence; kernel-side detection is 1 substep staler
-    # with a +1-substep extrusion window, so pair counts may differ
-    # slightly but never drop candidates (superset-sound)
-    assert stats[1]["far_rebuilds"] == stats[0]["far_rebuilds"]
-    assert stats[1]["far_overflow"] == 0
-    np.testing.assert_allclose(outs[0], outs[1], rtol=0, atol=1e-4)
+    Runs in a SUBPROCESS: the kdetect frame is the largest compiled
+    graph in the suite (~100k StableHLO lines, two Mosaic bodies) and
+    reproducibly segfaults the CPU XLA compiler when compiled late in
+    a long-lived pytest process (heap-state-dependent compiler bug —
+    the same program compiles fine in a fresh process; a 128 MB stack
+    did not help)."""
+    import subprocess
+    import sys
+
+    driver = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from softbody_tpu.models import tearing_cloth_lattice
+from softbody_tpu.engine.backends import FusedLatticeBackend
+from softbody_tpu.ops.farfield import FarFieldSpec
+from softbody_tpu import UserInput
+
+lstate, spec, cfg, consts = tearing_cloth_lattice(
+    n_particles=32 * 32, spring=2.0, damp=0.2, fall_speed=10.0,
+    slits=2, strain_limit=0.22, yield_strain=0.18)
+w, _h = lstate.shape
+spacing = 980.0 / (w - 1)
+ff = FarFieldSpec(max_pairs=512, max_tile_pairs=128,
+                  skin=0.75 * spacing, horizon=8)
+uin = UserInput.none()
+outs, stats = [], []
+for mode in ("xla", "kernel"):
+    backend = FusedLatticeBackend(spec, cfg, farfield=ff, tile_w=8,
+                                  far_detect=mode)
+    state = backend.pack_state(lstate)
+    for _ in range(3):
+        state = backend.step(state, consts, uin)
+    stats.append(backend.far_stats())
+    ext = backend.extract(state)
+    outs.append(np.asarray(ext[0]))
+# same rebuild cadence; kernel-side detection is 1 substep staler
+# with a +1-substep extrusion window, so pair counts may differ
+# slightly but never drop candidates (superset-sound)
+assert stats[1]["far_rebuilds"] == stats[0]["far_rebuilds"], stats
+assert stats[1]["far_overflow"] == 0, stats
+np.testing.assert_allclose(outs[0], outs[1], rtol=0, atol=1e-4)
+print("KDETECT_PARITY_OK")
+"""
+    import os
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([sys.executable, "-c", driver], cwd=repo,
+                       env=env, capture_output=True, text=True,
+                       timeout=1800)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "KDETECT_PARITY_OK" in r.stdout, r.stdout[-2000:]
 
 
 @pytest.mark.parametrize("extra", [("lanecut",), ("inbuf3",),
