@@ -27,3 +27,24 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+
+# ---------------------------------------------------------------------------
+# Bound the process-lifetime compiler state.  The suite compiles ~100+
+# large programs in one process; with round 5's added tests the CPU XLA
+# compiler started segfaulting on big-graph compiles late in the run
+# (heap-state-dependent: the same programs compile fine in fresh
+# processes; a 128 MB stack does not help; the crash point moves with
+# unrelated test additions).  Dropping every cached trace/executable
+# after each test module keeps the compiler's heap regime close to a
+# fresh process while preserving intra-module jit-cache hits.
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    jax.clear_caches()
+    gc.collect()
