@@ -157,7 +157,8 @@ CONFIGS = [
     # "ealpack": the four edge-alive planes ride as bits of ONE packed
     # plane — hot stack 18 → 15 planes (−1/6 of the pipeline-bound slab
     # DMA), bit-exact (alive is boolean)
-    ("lckrep", {"kvar": ("rollgroup", "rsqrt", "dexp2",
+    ("lckrep", {"far_band": "xla",   # pinned: the pre-band-kernel A/B
+                "kvar": ("rollgroup", "rsqrt", "dexp2",
                          "lanecut", "krec", "ealpack")}),
     ("nf_ep", {"far": False,
                "kvar": ("rollgroup", "rsqrt", "dexp2",
@@ -243,7 +244,8 @@ def main() -> int:
                 far_mb=ov.get("far_mb", 32),
                 far_mb_out=ov.get("far_mb_out"),
                 far_detect=ov.get("far_detect", "xla"),
-                far_band=ov.get("far_band", "xla"),
+                # None = backend platform default (kernel on TPU)
+                far_band=ov.get("far_band"),
                 kernel_variants=ov.get("kvar", ()))
             state = backend.pack_state(lstate)
 
