@@ -89,6 +89,53 @@ def test_band_kernel_wide_world_slabs():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_band_kernel_conservative_under_absurd_dev():
+    """The kernel's BIG-encoded liveness is exact while
+    ``reach < ~1e8`` (any physical scale) and documented to err only
+    CONSERVATIVE beyond it (corrupt-state velocities): its flags must
+    be a SUPERSET of the XLA loop's — extra candidates are harmless
+    (the apply re-masks by real liveness), missed ones would lose
+    physics."""
+    from softbody_tpu.ops.pallas.band_detect import band_flag_call
+
+    rng = np.random.default_rng(11)
+    w, h = 32, 32
+    px = jnp.asarray(rng.uniform(0, 100, (w, h)).astype(np.float32))
+    py = jnp.asarray(rng.uniform(0, 100, (w, h)).astype(np.float32))
+    alive = jnp.asarray(rng.random((w, h)) > 0.3)
+    # absurd deviation allowances (corrupt-scale velocities)
+    dev = jnp.where(
+        alive,
+        jnp.asarray((10.0 ** rng.uniform(0, 12, (w, h))).astype(
+            np.float32)),
+        0.0)
+    base = jnp.float32(5.0)
+    ff = FarFieldSpec(max_pairs=64, max_tile_pairs=32, skin=2.0,
+                      horizon=8)
+    offsets = ff.band_half_offsets(2)
+
+    br = 7
+    pxb = jnp.pad(px, ((0, br), (br, br)), constant_values=3e8)
+    pyb = jnp.pad(py, ((0, br), (br, br)), constant_values=3e8)
+    alb = jnp.pad(alive, ((0, br), (br, br)), constant_values=False)
+    dvb = jnp.pad(dev, ((0, br), (br, br)), constant_values=0.0)
+
+    def sh(pb, dx, dy):
+        return pb[dx : dx + w, br + dy : br + dy + h]
+
+    want = jnp.zeros((w, h), bool)
+    for dx, dy in offsets:
+        d2 = (sh(pxb, dx, dy) - px) ** 2 + (sh(pyb, dx, dy) - py) ** 2
+        reach = base + dev + sh(dvb, dx, dy)
+        want = want | (alive & sh(alb, dx, dy) & (d2 < reach * reach))
+
+    got = np.asarray(band_flag_call(px, py, dev, base + dev, alive,
+                                    offsets=offsets, tw=16,
+                                    interpret=True))
+    missed = np.asarray(want) & ~got
+    assert not missed.any(), f"kernel missed {missed.sum()} flags"
+
+
 def test_benched_scene_golden_vs_oracle():
     """The official bench workload's tuned constants (fragile fabric:
     strain_limit 0.22 / yield 0.18, pre-cut slits, fall speed), scaled
